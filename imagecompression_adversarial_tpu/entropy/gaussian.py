@@ -1,0 +1,92 @@
+"""Conditional Gaussian entropy model (scale / mean-scale hyperpriors).
+
+Stateless re-implementation of the likelihood math CompressAI's
+``GaussianConditional`` provides (reached from the reference through
+``net.gaussian_conditional`` — `/root/reference/anchors/model.py:91-106`).
+
+The likelihood of an integer-quantized symbol v under N(mean, scale^2) is the
+CDF difference over the unit bin around it::
+
+    P(v) = Phi((v - mean + 1/2) / scale) - Phi((v - mean - 1/2) / scale)
+
+computed via the |v| fold + erfc trick so both CDF evaluations happen on the
+numerically safe tail.  Scales are floored at SCALE_BOUND = 0.11 (the same
+floor the reference relies on, cf. `attack_rd.py:46`) through the gated
+lower-bound STE so rate gradients keep flowing at the floor.
+
+Everything is elementwise -> fuses into neighbouring convs on TPU; no Pallas
+needed here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bounds import lower_bound
+from ..ops.quant import quantize
+
+_LIKELIHOOD_BOUND = 1e-9
+
+#: Default lower bound on predicted scales (CompressAI convention).
+SCALE_BOUND = 0.11
+
+#: Default scale table for real range coding: 64 log-spaced points in
+#: [0.11, 256].
+SCALES_MIN = 0.11
+SCALES_MAX = 256.0
+SCALES_LEVELS = 64
+
+
+def default_scale_table() -> jnp.ndarray:
+    return jnp.exp(
+        jnp.linspace(
+            math.log(SCALES_MIN), math.log(SCALES_MAX), SCALES_LEVELS
+        )
+    )
+
+
+def _standardized_cumulative(x: jax.Array) -> jax.Array:
+    """Phi(x) via the complementary error function (tail-accurate)."""
+    half = jnp.asarray(0.5, x.dtype)
+    const = jnp.asarray(-(2.0 ** -0.5), x.dtype)
+    return half * jax.lax.erfc(const * x)
+
+
+def gaussian_likelihood(
+    values: jax.Array,
+    scales: jax.Array,
+    means: Optional[jax.Array] = None,
+    scale_bound: float = SCALE_BOUND,
+) -> jax.Array:
+    """Unit-bin likelihood of (already quantized) ``values``."""
+    if means is not None:
+        values = values - means
+    scales = lower_bound(scales, scale_bound)
+    values = jnp.abs(values)
+    upper = _standardized_cumulative((0.5 - values) / scales)
+    lower = _standardized_cumulative((-0.5 - values) / scales)
+    return upper - lower
+
+
+def gaussian_conditional(
+    y: jax.Array,
+    scales: jax.Array,
+    means: Optional[jax.Array] = None,
+    quant_mode: str = "noise",
+    key: Optional[jax.Array] = None,
+    scale_bound: float = SCALE_BOUND,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize ``y`` and return (y_hat, likelihoods).
+
+    Mirrors ``GaussianConditional.forward``: quantization uses additive noise
+    in training mode and mean-centered rounding at inference; the likelihood
+    is evaluated on the quantized values.
+    """
+    y_hat = quantize(y, quant_mode, means=means, key=key)
+    likelihood = gaussian_likelihood(y_hat, scales, means=means, scale_bound=scale_bound)
+    likelihood = lower_bound(likelihood, _LIKELIHOOD_BOUND)
+    return y_hat, likelihood

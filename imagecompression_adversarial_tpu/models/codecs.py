@@ -1,0 +1,438 @@
+"""Codec model families (flax.linen, NHWC).
+
+Re-designs of the architectures the reference reaches through the CompressAI
+zoo (`/root/reference/anchors/model.py:60-78`):
+
+  ``FactorizedPrior``   bmshj2018_factorized
+  ``ScaleHyperprior``   bmshj2018_hyperprior
+  ``JointAutoregressive`` mbt2018 ("context")
+  ``Cheng2020Anchor``   cheng2020_anchor
+  ``DebugCodec``        the reference's tiny `ae_onelayer` fixture
+                        (`anchors/model.py:9-35`)
+
+Design notes (TPU-first):
+* Quantization behaviour is an explicit ``quant_mode`` static argument
+  ('noise' | 'dequantize' | 'ste' | 'none') instead of train()/eval() module
+  state (SURVEY §7.1).  ``quant_mode='none'`` is the attack's
+  quantization-free ``g_s(g_a(x))`` path (ref `attack_rd.py:344-349`).
+* Submodule names carry the torch Sequential index (``g_a_0`` == torch
+  ``g_a.0``) so the PyTorch->JAX checkpoint converter is a pure renaming +
+  layout transpose.
+* All forwards are pure functions of (params, x, rng) with static shapes —
+  jit/vmap/pjit compose freely; the autoregressive context model uses its
+  parallel masked-conv estimation form (decode-order inference is part of
+  the real-coder milestone, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..entropy.factorized import EntropyBottleneck
+from ..entropy.gaussian import gaussian_conditional
+from ..ops.quant import quantize
+from .layers import (
+    Conv,
+    Deconv,
+    GDN,
+    MaskedConv,
+    ResidualBlock,
+    ResidualBlockUpsample,
+    ResidualBlockWithStride,
+    SubpelConv,
+)
+
+Result = Dict[str, Any]
+
+
+def _maybe_rng(module: nn.Module, quant_mode: str) -> Optional[jax.Array]:
+    if quant_mode == "noise":
+        return module.make_rng("quant")
+    return None
+
+
+class CodecModel(nn.Module):
+    """Common interface: g_a / g_s / h_a / h_s methods + __call__ forward."""
+
+    def encode(self, x):  # alias used by analysis tools
+        return self.g_a(x)
+
+    def decode(self, y):
+        return self.g_s(y)
+
+
+class FactorizedPrior(CodecModel):
+    """bmshj2018-factorized: 4x (conv5x5/2 + GDN) analysis, mirrored synthesis,
+    fully-factorized entropy model on y."""
+
+    N: int
+    M: int
+
+    def setup(self):
+        self.g_a_0 = Conv(self.N)
+        self.g_a_1 = GDN()
+        self.g_a_2 = Conv(self.N)
+        self.g_a_3 = GDN()
+        self.g_a_4 = Conv(self.N)
+        self.g_a_5 = GDN()
+        self.g_a_6 = Conv(self.M)
+
+        self.g_s_0 = Deconv(self.N)
+        self.g_s_1 = GDN(inverse=True)
+        self.g_s_2 = Deconv(self.N)
+        self.g_s_3 = GDN(inverse=True)
+        self.g_s_4 = Deconv(self.N)
+        self.g_s_5 = GDN(inverse=True)
+        self.g_s_6 = Deconv(3)
+
+        self.entropy_bottleneck = EntropyBottleneck(self.M)
+
+    def g_a(self, x):
+        for layer in (self.g_a_0, self.g_a_1, self.g_a_2, self.g_a_3,
+                      self.g_a_4, self.g_a_5, self.g_a_6):
+            x = layer(x)
+        return x
+
+    def g_s(self, y):
+        for layer in (self.g_s_0, self.g_s_1, self.g_s_2, self.g_s_3,
+                      self.g_s_4, self.g_s_5, self.g_s_6):
+            y = layer(y)
+        return y
+
+    def __call__(self, x, quant_mode: str = "noise") -> Result:
+        y = self.g_a(x)
+        y_hat, y_lik = self.entropy_bottleneck(
+            y, quant_mode=quant_mode, key=_maybe_rng(self, quant_mode)
+        )
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "y": y,
+            "y_hat": y_hat,
+            "likelihoods": {"y": y_lik},
+        }
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class ScaleHyperprior(CodecModel):
+    """bmshj2018-hyperprior: factorized backbone + scale-only hyper network;
+    z = h_a(|y|), scales = h_s(z_hat) (ref `anchors/model.py:91-95`)."""
+
+    N: int
+    M: int
+
+    def setup(self):
+        self.g_a_0 = Conv(self.N)
+        self.g_a_1 = GDN()
+        self.g_a_2 = Conv(self.N)
+        self.g_a_3 = GDN()
+        self.g_a_4 = Conv(self.N)
+        self.g_a_5 = GDN()
+        self.g_a_6 = Conv(self.M)
+
+        self.g_s_0 = Deconv(self.N)
+        self.g_s_1 = GDN(inverse=True)
+        self.g_s_2 = Deconv(self.N)
+        self.g_s_3 = GDN(inverse=True)
+        self.g_s_4 = Deconv(self.N)
+        self.g_s_5 = GDN(inverse=True)
+        self.g_s_6 = Deconv(3)
+
+        self.h_a_0 = Conv(self.N, kernel_size=3, stride=1)
+        self.h_a_2 = Conv(self.N)
+        self.h_a_4 = Conv(self.N)
+
+        self.h_s_0 = Deconv(self.N)
+        self.h_s_2 = Deconv(self.N)
+        self.h_s_4 = Conv(self.M, kernel_size=3, stride=1)
+
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+
+    def g_a(self, x):
+        for layer in (self.g_a_0, self.g_a_1, self.g_a_2, self.g_a_3,
+                      self.g_a_4, self.g_a_5, self.g_a_6):
+            x = layer(x)
+        return x
+
+    def g_s(self, y):
+        for layer in (self.g_s_0, self.g_s_1, self.g_s_2, self.g_s_3,
+                      self.g_s_4, self.g_s_5, self.g_s_6):
+            y = layer(y)
+        return y
+
+    def h_a(self, y):
+        h = nn.relu(self.h_a_0(y))
+        h = nn.relu(self.h_a_2(h))
+        return self.h_a_4(h)
+
+    def h_s(self, z):
+        h = nn.relu(self.h_s_0(z))
+        h = nn.relu(self.h_s_2(h))
+        return nn.relu(self.h_s_4(h))
+
+    def __call__(self, x, quant_mode: str = "noise") -> Result:
+        y = self.g_a(x)
+        z = self.h_a(jnp.abs(y))
+        rng = _maybe_rng(self, quant_mode)
+        z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)
+        scales = self.h_s(z_hat)
+        rng2 = _maybe_rng(self, quant_mode)
+        y_hat, y_lik = gaussian_conditional(
+            y, scales, quant_mode=quant_mode, key=rng2
+        )
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "y": y,
+            "y_hat": y_hat,
+            "z_hat": z_hat,
+            "scales_hat": scales,
+            "likelihoods": {"y": y_lik, "z": z_lik},
+        }
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class JointAutoregressive(CodecModel):
+    """mbt2018 ("context"): mean-scale hyperprior + masked-conv context model
+    (parallel estimation path, ref `anchors/model.py:97-106`)."""
+
+    N: int
+    M: int
+
+    def setup(self):
+        self.g_a_0 = Conv(self.N)
+        self.g_a_1 = GDN()
+        self.g_a_2 = Conv(self.N)
+        self.g_a_3 = GDN()
+        self.g_a_4 = Conv(self.N)
+        self.g_a_5 = GDN()
+        self.g_a_6 = Conv(self.M)
+
+        self.g_s_0 = Deconv(self.N)
+        self.g_s_1 = GDN(inverse=True)
+        self.g_s_2 = Deconv(self.N)
+        self.g_s_3 = GDN(inverse=True)
+        self.g_s_4 = Deconv(self.N)
+        self.g_s_5 = GDN(inverse=True)
+        self.g_s_6 = Deconv(3)
+
+        self.h_a_0 = Conv(self.N, kernel_size=3, stride=1)
+        self.h_a_2 = Conv(self.N)
+        self.h_a_4 = Conv(self.N)
+
+        self.h_s_0 = Deconv(self.M)
+        self.h_s_2 = Deconv(self.M * 3 // 2)
+        self.h_s_4 = Conv(self.M * 2, kernel_size=3, stride=1)
+
+        self.context_prediction = MaskedConv(2 * self.M)
+        self.entropy_parameters_0 = Conv(self.M * 10 // 3, kernel_size=1, stride=1)
+        self.entropy_parameters_2 = Conv(self.M * 8 // 3, kernel_size=1, stride=1)
+        self.entropy_parameters_4 = Conv(self.M * 6 // 3, kernel_size=1, stride=1)
+
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+
+    def g_a(self, x):
+        for layer in (self.g_a_0, self.g_a_1, self.g_a_2, self.g_a_3,
+                      self.g_a_4, self.g_a_5, self.g_a_6):
+            x = layer(x)
+        return x
+
+    def g_s(self, y):
+        for layer in (self.g_s_0, self.g_s_1, self.g_s_2, self.g_s_3,
+                      self.g_s_4, self.g_s_5, self.g_s_6):
+            y = layer(y)
+        return y
+
+    def h_a(self, y):
+        h = nn.leaky_relu(self.h_a_0(y))
+        h = nn.leaky_relu(self.h_a_2(h))
+        return self.h_a_4(h)
+
+    def h_s(self, z):
+        h = nn.leaky_relu(self.h_s_0(z))
+        h = nn.leaky_relu(self.h_s_2(h))
+        return self.h_s_4(h)
+
+    def entropy_parameters(self, v):
+        v = nn.leaky_relu(self.entropy_parameters_0(v))
+        v = nn.leaky_relu(self.entropy_parameters_2(v))
+        return self.entropy_parameters_4(v)
+
+    def __call__(self, x, quant_mode: str = "noise") -> Result:
+        y = self.g_a(x)
+        z = self.h_a(y)
+        rng = _maybe_rng(self, quant_mode)
+        z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)
+        params = self.h_s(z_hat)
+
+        # The synthesis path uses means-free quantization of y (ref
+        # `anchors/model.py:102`: GaussianConditional.quantize without means).
+        rng_y = _maybe_rng(self, quant_mode)
+        y_hat = quantize(y, "dequantize" if quant_mode in ("dequantize", "ste") else quant_mode,
+                         means=None, key=rng_y)
+        ctx = self.context_prediction(y_hat)
+        gaussian_params = self.entropy_parameters(
+            jnp.concatenate([params, ctx], axis=-1)
+        )
+        scales, means = jnp.split(gaussian_params, 2, axis=-1)
+        rng_lik = _maybe_rng(self, quant_mode)
+        _, y_lik = gaussian_conditional(
+            y, scales, means=means, quant_mode=quant_mode, key=rng_lik
+        )
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "y": y,
+            "y_hat": y_hat,
+            "z_hat": z_hat,
+            "scales_hat": scales,
+            "means_hat": means,
+            "likelihoods": {"y": y_lik, "z": z_lik},
+        }
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class Cheng2020Anchor(JointAutoregressive):
+    """cheng2020-anchor: residual-block transforms over the joint
+    autoregressive entropy structure (M == N)."""
+
+    N: int
+    M: int  # always == N
+
+    def setup(self):
+        n = self.N
+        self.g_a_0 = ResidualBlockWithStride(n, stride=2)
+        self.g_a_1 = ResidualBlock(n)
+        self.g_a_2 = ResidualBlockWithStride(n, stride=2)
+        self.g_a_3 = ResidualBlock(n)
+        self.g_a_4 = ResidualBlockWithStride(n, stride=2)
+        self.g_a_5 = ResidualBlock(n)
+        self.g_a_6 = Conv(n, kernel_size=3, stride=2)
+
+        self.h_a_0 = Conv(n, kernel_size=3, stride=1)
+        self.h_a_2 = Conv(n, kernel_size=3, stride=1)
+        self.h_a_4 = Conv(n, kernel_size=3, stride=2)
+        self.h_a_6 = Conv(n, kernel_size=3, stride=1)
+        self.h_a_8 = Conv(n, kernel_size=3, stride=2)
+
+        self.h_s_0 = Conv(n, kernel_size=3, stride=1)
+        self.h_s_2 = SubpelConv(n, upscale=2)
+        self.h_s_4 = Conv(n * 3 // 2, kernel_size=3, stride=1)
+        self.h_s_6 = SubpelConv(n * 3 // 2, upscale=2)
+        self.h_s_8 = Conv(n * 2, kernel_size=3, stride=1)
+
+        self.g_s_0 = ResidualBlock(n)
+        self.g_s_1 = ResidualBlockUpsample(n, upscale=2)
+        self.g_s_2 = ResidualBlock(n)
+        self.g_s_3 = ResidualBlockUpsample(n, upscale=2)
+        self.g_s_4 = ResidualBlock(n)
+        self.g_s_5 = ResidualBlockUpsample(n, upscale=2)
+        self.g_s_6 = ResidualBlock(n)
+        self.g_s_7 = SubpelConv(3, upscale=2)
+
+        self.context_prediction = MaskedConv(2 * n)
+        self.entropy_parameters_0 = Conv(n * 10 // 3, kernel_size=1, stride=1)
+        self.entropy_parameters_2 = Conv(n * 8 // 3, kernel_size=1, stride=1)
+        self.entropy_parameters_4 = Conv(n * 6 // 3, kernel_size=1, stride=1)
+
+        self.entropy_bottleneck = EntropyBottleneck(n)
+
+    def g_a(self, x):
+        for layer in (self.g_a_0, self.g_a_1, self.g_a_2, self.g_a_3,
+                      self.g_a_4, self.g_a_5, self.g_a_6):
+            x = layer(x)
+        return x
+
+    def g_s(self, y):
+        for layer in (self.g_s_0, self.g_s_1, self.g_s_2, self.g_s_3,
+                      self.g_s_4, self.g_s_5, self.g_s_6, self.g_s_7):
+            y = layer(y)
+        return y
+
+    def h_a(self, y):
+        h = nn.leaky_relu(self.h_a_0(y))
+        h = nn.leaky_relu(self.h_a_2(h))
+        h = self.h_a_4(h)
+        h = nn.leaky_relu(h)
+        h = nn.leaky_relu(self.h_a_6(h))
+        return self.h_a_8(h)
+
+    def h_s(self, z):
+        h = nn.leaky_relu(self.h_s_0(z))
+        h = nn.leaky_relu(self.h_s_2(h))
+        h = nn.leaky_relu(self.h_s_4(h))
+        h = nn.leaky_relu(self.h_s_6(h))
+        return self.h_s_8(h)
+
+
+class DebugCodec(CodecModel):
+    """The reference's one-layer autoencoder fixture `ae_onelayer`
+    (`/root/reference/anchors/model.py:9-35`): 3x3 stride-1 analysis /
+    synthesis over a mean-scale hyper entropy structure; synthesis bypasses
+    quantization entirely (x_hat = g_s(y))."""
+
+    N: int = 3
+    M: int = 192
+
+    def setup(self):
+        self.g_a_0 = Conv(self.M, kernel_size=3, stride=1)
+        self.g_s_0 = Deconv(3, kernel_size=3, stride=1)
+
+        self.h_a_0 = Conv(self.N, kernel_size=3, stride=1)
+        self.h_a_2 = Conv(self.N)
+        self.h_a_4 = Conv(self.N)
+
+        self.h_s_0 = Deconv(self.M)
+        self.h_s_2 = Deconv(self.M * 3 // 2)
+        self.h_s_4 = Conv(self.M * 2, kernel_size=3, stride=1)
+
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+
+    def g_a(self, x):
+        return self.g_a_0(x)
+
+    def g_s(self, y):
+        return self.g_s_0(y)
+
+    def h_a(self, y):
+        h = nn.leaky_relu(self.h_a_0(y))
+        h = nn.leaky_relu(self.h_a_2(h))
+        return self.h_a_4(h)
+
+    def h_s(self, z):
+        h = nn.leaky_relu(self.h_s_0(z))
+        h = nn.leaky_relu(self.h_s_2(h))
+        return self.h_s_4(h)
+
+    def __call__(self, x, quant_mode: str = "noise") -> Result:
+        y = self.g_a(x)
+        z = self.h_a(y)
+        rng = _maybe_rng(self, quant_mode)
+        z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)
+        gaussian_params = self.h_s(z_hat)
+        scales, means = jnp.split(gaussian_params, 2, axis=-1)
+        rng_y = _maybe_rng(self, quant_mode)
+        y_hat, y_lik = gaussian_conditional(
+            y, scales, means=means, quant_mode=quant_mode, key=rng_y
+        )
+        x_hat = self.g_s(y)  # deliberate quantization bypass (ref :30)
+        return {
+            "x_hat": x_hat,
+            "y": y,
+            "y_hat": y_hat,
+            "z_hat": z_hat,
+            "likelihoods": {"y": y_lik, "z": z_lik},
+        }
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()

@@ -1,0 +1,286 @@
+"""Codec building-block layers (flax.linen, NHWC).
+
+TPU-first re-implementations of the layers the reference pulls from
+CompressAI (`/root/reference/anchors/model.py:3-5`: ``GDN``,
+``MaskedConv2d``, and the ``conv``/``deconv`` builders at
+`/root/reference/anchors/utils.py:112-130`).
+
+Conventions
+-----------
+* Activations are NHWC (TPU-preferred); kernels are HWIO.
+* ``Conv``/``Deconv`` use explicit padding that reproduces PyTorch's
+  ``padding=k//2`` (+ ``output_padding=stride-1`` for transposed convs), so a
+  converted CompressAI checkpoint is numerically identical.  ``Deconv`` is
+  expressed as an input-dilated convolution with a spatially flipped kernel —
+  the exact linear map of ``nn.ConvTranspose2d`` — which XLA lowers straight
+  onto the MXU.
+* GDN keeps CompressAI's non-negative reparametrization (sqrt + pedestal
+  2^-36, cf. reference `utils/ops.py:58-97`) and is evaluated as one channel
+  matmul + rsqrt; with C in {128..320} the matmul rides the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.bounds import lower_bound
+
+
+def _torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """PyTorch Conv2d default init: kaiming_uniform(a=sqrt(5)).
+
+    shape is HWIO; fan_in = kh*kw*in_ch.
+    """
+    kh, kw, in_ch, _ = shape
+    fan_in = kh * kw * in_ch
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_bias_init(fan_in):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """Strided conv with PyTorch-style symmetric padding k//2."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", _torch_conv_kernel_init, (k, k, in_ch, self.features)
+        )
+        bias = self.param("bias", _torch_bias_init(k * k * in_ch), (self.features,))
+        pad = k // 2
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            (self.stride, self.stride),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=dn,
+        )
+        return y + bias.astype(x.dtype)
+
+
+class Deconv(nn.Module):
+    """Transposed conv == PyTorch ConvTranspose2d(k, s, padding=k//2,
+    output_padding=s-1): input dilation s, flipped kernel, asymmetric pad."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        s = self.stride
+        in_ch = x.shape[-1]
+        # Kernel stored as (kh, kw, in, out) = torch weight (in, out, kh, kw)
+        # transposed to HWIO; fan_in for torch's transposed-conv init is
+        # kh*kw*out? torch uses weight.size(1) * k * k = out_ch * k * k.
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: _torch_conv_kernel_init(key, shape),
+            (k, k, in_ch, self.features),
+        )
+        bias = self.param("bias", _torch_bias_init(k * k * self.features), (self.features,))
+        pad = k // 2
+        out_pad = s - 1
+        # ConvTranspose = dilate input by s, pad by (k-1-pad) each side plus
+        # output_padding on the high side, correlate with flipped kernel.
+        lo = k - 1 - pad
+        hi = k - 1 - pad + out_pad
+        flipped = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, flipped.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            flipped,
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(s, s),
+            dimension_numbers=dn,
+        )
+        return y + bias.astype(x.dtype)
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization: x / sqrt(beta + gamma @ x^2).
+
+    ``inverse=True`` gives IGDN (multiply by sqrt).  Parameters are stored in
+    CompressAI's reparametrized space (sqrt with pedestal), so converted
+    checkpoints drop straight in.
+    """
+
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    reparam_offset: float = 2 ** -18
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        pedestal = self.reparam_offset ** 2
+        beta_bound = (self.beta_min + pedestal) ** 0.5
+        gamma_bound = self.reparam_offset
+
+        beta_r = self.param(
+            "beta",
+            lambda key, shape: jnp.sqrt(jnp.ones(shape, jnp.float32) + pedestal),
+            (c,),
+        )
+        gamma_r = self.param(
+            "gamma",
+            lambda key, shape: jnp.sqrt(
+                self.gamma_init * jnp.eye(c, dtype=jnp.float32) + pedestal
+            ),
+            (c, c),
+        )
+
+        beta = lower_bound(beta_r, beta_bound) ** 2 - pedestal
+        gamma = lower_bound(gamma_r, gamma_bound) ** 2 - pedestal
+
+        # norm[..., o] = sum_i gamma[o, i] * x[..., i]^2 + beta[o]
+        norm = jnp.einsum("...i,oi->...o", (x * x), gamma.astype(x.dtype)) + beta.astype(
+            x.dtype
+        )
+        if self.inverse:
+            return x * jnp.sqrt(norm)
+        return x * jax.lax.rsqrt(norm)
+
+
+class MaskedConv(nn.Module):
+    """Type-A masked 5x5 conv (autoregressive context prediction).
+
+    Training/estimation path only needs the masked convolution itself (one
+    parallel conv); sequential decode-order inference lives in the real-coder
+    path (SURVEY §7.3).  Ref usage: ``net.context_prediction``
+    (`/root/reference/anchors/model.py:103`).
+    """
+
+    features: int
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", _torch_conv_kernel_init, (k, k, in_ch, self.features)
+        )
+        bias = self.param("bias", _torch_bias_init(k * k * in_ch), (self.features,))
+        # Mask A: zero the center pixel and everything after it in raster order.
+        mask = jnp.ones((k, k, 1, 1), x.dtype)
+        mask = mask.at[k // 2, k // 2 :, :, :].set(0.0)
+        mask = mask.at[k // 2 + 1 :, :, :, :].set(0.0)
+        pad = k // 2
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype) * mask,
+            (1, 1),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=dn,
+        )
+        return y + bias.astype(x.dtype)
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """PyTorch-compatible pixel shuffle, NHWC.
+
+    out[b, h*r+i, w*r+j, c] = in[b, h, w, c*r*r + i*r + j]
+    """
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, i, w, j, c
+    return x.reshape(b, h * r, w * r, c)
+
+
+class SubpelConv(nn.Module):
+    """3x3 conv to C*r^2 channels followed by pixel shuffle (cheng2020)."""
+
+    features: int
+    upscale: int = 2
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.upscale
+        y = Conv(self.features * r * r, kernel_size=self.kernel_size, stride=1)(x)
+        return pixel_shuffle(y, r)
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 -> lrelu -> conv3x3 -> lrelu, additive skip (cheng2020)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = Conv(self.features, kernel_size=3, stride=1, name="conv1")(x)
+        y = nn.leaky_relu(y)
+        y = Conv(self.features, kernel_size=3, stride=1, name="conv2")(y)
+        y = nn.leaky_relu(y)
+        if x.shape[-1] != self.features:
+            identity = Conv(self.features, kernel_size=1, stride=1, name="skip")(x)
+        return y + identity
+
+
+class ResidualBlockWithStride(nn.Module):
+    """conv3x3/s -> lrelu -> conv3x3 -> GDN, strided-1x1 skip (cheng2020)."""
+
+    features: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.features, kernel_size=3, stride=self.stride, name="conv1")(x)
+        y = nn.leaky_relu(y)
+        y = Conv(self.features, kernel_size=3, stride=1, name="conv2")(y)
+        y = GDN(name="gdn")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            identity = Conv(
+                self.features, kernel_size=1, stride=self.stride, name="skip"
+            )(x)
+        else:
+            identity = x
+        return y + identity
+
+
+class ResidualBlockUpsample(nn.Module):
+    """subpel -> lrelu -> conv3x3 -> IGDN, subpel skip (cheng2020)."""
+
+    features: int
+    upscale: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        y = SubpelConv(self.features, upscale=self.upscale, name="subpel_conv")(x)
+        y = nn.leaky_relu(y)
+        y = Conv(self.features, kernel_size=3, stride=1, name="conv")(y)
+        y = GDN(inverse=True, name="igdn")(y)
+        identity = SubpelConv(self.features, upscale=self.upscale, name="upsample")(x)
+        return y + identity
