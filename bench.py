@@ -1,0 +1,64 @@
+"""Headline benchmark: attack steps/sec (attack_rd, hyper q=1, Kodak-size).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Configuration follows BASELINE.md: the canonical RD attack (1001 Adam steps,
+lr 0.01, eps 16/255, L2 budget 1e-4) on a 768x512 image (Kodak geometry)
+against the hyper q=1 codec.  The reference runs this as ~1001 synchronous
+CUDA iterations (`/root/reference/attack_rd.py:506-560`); here it is one
+jitted lax.scan.
+
+``vs_baseline`` is measured steps/sec divided by an engineering estimate of
+the PyTorch reference on A100 (25 steps/s for hyper q=1 at 768x512 —
+BASELINE.json publishes no number; the driver's target is >=5x that).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_REFERENCE_STEPS_PER_SEC = 25.0  # engineering estimate, see docstring
+STEPS = 1001
+
+
+def main():
+    from imagecompression_adversarial_tpu.attacks import RDAttackConfig, make_attack_fn
+    from imagecompression_adversarial_tpu.models import init_model, init_params
+
+    # TPU-fast matmul precision for the hot loop (parity eval uses 'highest').
+    jax.config.update("jax_default_matmul_precision", "default")
+
+    module = init_model("hyper", 1)
+    key = jax.random.PRNGKey(0)
+    params = init_params(module, key, input_shape=(1, 64, 64, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 512, 768, 3), jnp.float32)
+
+    cfg = RDAttackConfig(steps=STEPS)
+    attack = make_attack_fn(module, cfg)
+
+    # compile + warmup
+    res = attack(params, x)
+    jax.block_until_ready(res["vi"])
+
+    t0 = time.perf_counter()
+    res = attack(params, x)
+    jax.block_until_ready(res["vi"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "attack_steps_per_sec",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/s (attack_rd, hyper q=1, 768x512)",
+                "vs_baseline": round(steps_per_sec / A100_REFERENCE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Shared attack plumbing: configs, LR schedules, Adam-on-noise updates.
+
+The reference optimizes a noise tensor with torch Adam lr=0.01 and a
+MultiStepLR(milestones=[1,2,3], gamma=0.33) stepped every ``steps // 3``
+iterations (`/root/reference/attack_rd.py:502-503,553-554`).  On TPU the
+whole loop is one jitted `lax.scan`; the LR trajectory is precomputed
+host-side and scanned over, which reproduces torch's
+step-then-maybe-decay ordering exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class RDAttackConfig:
+    """Knobs of the canonical RD distortion attack (ref `coder.py:191-210`)."""
+
+    steps: int = 1001
+    lr: float = 0.01
+    noise_threshold: float = 1e-4  # L2 input budget (`-noise`)
+    epsilon: float = 16.0  # L-inf budget in /255 units (`-e`)
+    att_metric: str = "L2"  # 'L2' | 'ms-ssim'
+    clamp: bool = True  # `--no-clamp` clears this
+    random_restarts: int = 1  # `-random`
+    lr_milgamma: float = 0.33
+    debug_model: bool = False  # reference 'debug' arch skips [0,1] clamp
+
+
+def multistep_lr_schedule(
+    steps: int, base_lr: float, gamma: float = 0.33, n_decays: int = 3
+) -> np.ndarray:
+    """Per-iteration LR reproducing torch MultiStepLR([1,2,3], gamma) stepped
+    at every ``i % (steps//3) == 0`` boundary (decay takes effect from the
+    *next* iteration; milestones cap the number of decays at 3)."""
+    d = max(steps // 3, 1)
+    lrs = np.empty(steps, np.float64)
+    factor = 1.0
+    epoch = 0
+    for i in range(steps):
+        lrs[i] = base_lr * factor
+        if i % d == 0:  # scheduler.step() happens after optimizer.step()
+            epoch += 1
+            if epoch <= n_decays:
+                factor *= gamma
+    return lrs.astype(np.float32)
+
+
+def adam_on_noise(
+    eps: float = 1e-8, b1: float = 0.9, b2: float = 0.999
+) -> optax.GradientTransformation:
+    """torch-equivalent Adam direction (bias-corrected, eps outside sqrt)."""
+    return optax.scale_by_adam(b1=b1, b2=b2, eps=eps, eps_root=0.0)
+
+
+def init_noise(
+    shape: Tuple[int, ...],
+    cfg: RDAttackConfig,
+    key: Optional[jax.Array],
+) -> jax.Array:
+    """Initial noise variable (ref `attack_rd.py:493-499`): zeros normally,
+    uniform(-1e-2, 1e-2) for random restarts, uniform(±sqrt(budget)) for the
+    debug fixture."""
+    if cfg.debug_model:
+        assert key is not None
+        a = float(np.sqrt(cfg.noise_threshold))
+        return jax.random.uniform(key, shape, jnp.float32, -a, a)
+    if cfg.random_restarts > 1:
+        assert key is not None
+        return jax.random.uniform(key, shape, jnp.float32, -1e-2, 1e-2)
+    return jnp.zeros(shape, jnp.float32)

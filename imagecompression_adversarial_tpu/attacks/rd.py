@@ -1,0 +1,159 @@
+"""The canonical RD distortion attack, compiled as one `lax.scan`.
+
+Reference semantics (`/root/reference/attack_rd.py:332-575`):
+  * optimize an additive noise variable with Adam (lr 0.01, MultiStepLR x0.33)
+  * every step: gated-STE clip of the noise to +-eps/255, then of the input
+    to [0, 1]
+  * two-phase loss: while input MSE exceeds the budget, minimize the input
+    loss; otherwise maximize output distortion
+    ``1 - MSE(g_s(g_a(x)), out_clean)`` through the quantization-free path
+    (`quant_mode='none'``); MS-SSIM variant supported
+  * final evaluation with real (round) quantization.
+
+TPU-first design (SURVEY §7.1): the 1001-iteration hot loop is a single
+jitted ``lax.scan`` over (noise, Adam state) carrying a precomputed LR
+trajectory; per-image Python iteration, host syncs, and optimizer-object
+overhead all disappear.  Random restarts and image batches become `vmap`
+axes instead of outer loops (ref loops at `attack_rd.py:654-664`).
+`lax.cond` keeps only one loss phase live per step on a single sample.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..metrics import bpp_from_likelihoods, ms_ssim
+from ..ops.bounds import bound_clip
+from .common import RDAttackConfig, adam_on_noise, init_noise, multistep_lr_schedule
+from .evaluate import evaluate
+
+
+def _attack_loss(apply_fn, x, output_s, noise, cfg: RDAttackConfig):
+    """Two-phase RD attack loss (ref ``attack_our``, `attack_rd.py:332-379`).
+
+    Returns (loss, (loss_i, loss_o)).
+    """
+    eps = cfg.epsilon / 255.0
+    noise_c = bound_clip(noise, -eps, eps)
+    if cfg.debug_model:
+        im_in = x + noise_c
+    else:
+        im_in = bound_clip(x + noise_c, 0.0, 1.0)
+    loss_i = jnp.mean((x - im_in) ** 2)
+
+    def input_phase(_):
+        if cfg.att_metric == "ms-ssim":
+            loss = 1.0 - ms_ssim(x, im_in)
+        else:
+            loss = loss_i
+        return loss, jnp.asarray(0.0, loss_i.dtype)
+
+    def output_phase(_):
+        out = apply_fn(im_in, quant_mode="none")
+        x_ = out["x_hat"]
+        output_ = bound_clip(x_, 0.0, 1.0) if cfg.clamp else x_
+        if cfg.att_metric == "ms-ssim":
+            loss_o = ms_ssim(output_, output_s)
+        else:
+            loss_o = 1.0 - jnp.mean((output_s - output_) ** 2)
+        return loss_o, loss_o
+
+    loss, loss_o = jax.lax.cond(loss_i > cfg.noise_threshold, input_phase, output_phase, None)
+    return loss, (loss_i, loss_o)
+
+
+def make_attack_fn(
+    module,
+    cfg: RDAttackConfig,
+    defend_fn_builder: Optional[Callable] = None,
+) -> Callable[..., Dict[str, Any]]:
+    """Build the jitted end-to-end attack: (params, x, key) -> results.
+
+    ``x`` is a single NHWC image batch of size 1 (vmap/batching wrappers sit
+    on top).  ``defend_fn_builder(apply_fn)`` optionally supplies the defense
+    used during evaluation (adaptive in-loop defenses hook into the defense
+    module's own attack builder).
+    """
+    lrs = jnp.asarray(multistep_lr_schedule(cfg.steps, cfg.lr, cfg.lr_milgamma))
+    opt = adam_on_noise()
+
+    def attack(params, x, key: Optional[jax.Array] = None):
+        apply_fn = lambda im, quant_mode: module.apply(
+            {"params": params}, im, quant_mode=quant_mode
+        )
+
+        # clean reference output + rate (ref `attack_rd.py:401-419`)
+        result_s = apply_fn(x, quant_mode="dequantize")
+        output_s = (
+            jnp.clip(result_s["x_hat"], 0.0, 1.0) if cfg.clamp else result_s["x_hat"]
+        )
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp_ori = bpp_from_likelihoods(result_s["likelihoods"], num_pixels)
+
+        noise0 = init_noise(x.shape, cfg, key)
+        opt_state0 = opt.init(noise0)
+
+        grad_fn = jax.grad(
+            lambda n: _attack_loss(apply_fn, x, output_s, n, cfg), has_aux=True
+        )
+
+        def step(carry, lr):
+            noise, opt_state = carry
+            grads, aux = grad_fn(noise)
+            updates, opt_state = opt.update(grads, opt_state)
+            noise = noise + jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            return (noise, opt_state), aux
+
+        (noise, _), (loss_i_hist, loss_o_hist) = jax.lax.scan(
+            step, (noise0, opt_state0), lrs
+        )
+
+        eps = cfg.epsilon / 255.0
+        noise_c = bound_clip(noise, -eps, eps)
+        if cfg.debug_model:
+            im_in = x + noise_c
+        else:
+            im_in = bound_clip(x + noise_c, 0.0, 1.0)
+
+        defend_fn = defend_fn_builder(apply_fn) if defend_fn_builder else None
+        ev = evaluate(
+            apply_fn, im_in, x, output_s, clamp=cfg.clamp, defend_fn=defend_fn
+        )
+        ev.update(
+            {
+                "output_s": output_s,
+                "bpp_ori": bpp_ori,
+                "loss_i_final": loss_i_hist[-1],
+                "loss_o_final": loss_o_hist[-1],
+            }
+        )
+        return ev
+
+    return jax.jit(attack)
+
+
+def make_batch_attack_fn(module, cfg: RDAttackConfig):
+    """vmap the attack over a leading image axis (each element is its own
+    independent Adam-on-noise run; `lax.cond` lowers to `select` under vmap,
+    which is exactly the batched two-phase loss the reference stubbed out at
+    `attack_rd.py:519-521`)."""
+    single = make_attack_fn(module, cfg)
+
+    def batched(params, xs, keys=None):
+        if keys is None:
+            return jax.vmap(lambda x: single(params, x))(xs)
+        return jax.vmap(lambda x, k: single(params, x, k))(xs, keys)
+
+    return jax.jit(batched)
+
+
+def best_of_restarts(attack_fn, params, x, keys):
+    """Random-restart wrapper: run `len(keys)` attacks (vmapped) and keep the
+    highest-VI result (ref `attack_rd.py:658-664`)."""
+    results = jax.vmap(lambda k: attack_fn(params, x, k))(keys)
+    best = jnp.argmax(results["vi"])
+    return jax.tree_util.tree_map(lambda a: a[best], results)

@@ -1,0 +1,118 @@
+"""CLI: the canonical RD distortion attack over an image corpus.
+
+Mirrors ``python attack_rd.py -m hyper -q 1 -s 'kodim*.png' ...``
+(`/root/reference/attack_rd.py:646-720`, README.md:5-9): per-image report of
+``bpp_ori bpp_adv dbpp vi vi_msim time`` plus the AVG line, and optional
+``_advin/_advout/_noise`` PNG artifacts.
+
+TPU differences: images are attacked in device batches (``-attack_batch``),
+random restarts are a vmapped axis, and the whole 1001-step loop is one
+compiled program — wall-clock per image is the headline benchmark
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..attacks import RDAttackConfig, best_of_restarts, make_attack_fn
+from ..config import apply_precision, parse_config
+from ..io.image import list_images, read_image, write_image
+from ..runtime import load_model
+
+
+def run(cfg) -> dict:
+    apply_precision(cfg)
+    module, params = load_model(cfg)
+
+    att_cfg = RDAttackConfig(
+        steps=cfg.steps,
+        lr=cfg.lr_attack,
+        noise_threshold=cfg.noise,
+        epsilon=cfg.epsilon,
+        att_metric=cfg.att_metric,
+        clamp=cfg.clamp,
+        random_restarts=cfg.random,
+        debug_model=(cfg.model == "debug"),
+    )
+    attack = make_attack_fn(module, att_cfg)
+
+    files = list_images(cfg.source)
+    if not files:
+        raise SystemExit(f"no images match source glob {cfg.source!r}")
+
+    print("==================== ATTACK SETTINGS ====================")
+    print(f"[ IMAGE ]: {cfg.source} -> {cfg.target}")
+    print(f"Attack Loss Metric: {cfg.att_metric}")
+    print(f"Noise Threshold (L2): {cfg.noise} (epsilon={cfg.epsilon})")
+    print(f"{cfg.steps} Steps")
+    print("=========================================================")
+
+    model_tag = f"{cfg.model}_{cfg.quality}_{cfg.metric}_"
+    out_dir = "./attack/results/"
+
+    sums = {"bpp_ori": 0.0, "bpp": 0.0, "vi": 0.0, "vi_msim": 0.0, "t": 0.0}
+    n = 0
+    for path in files:
+        im, h, w = read_image(path)
+        im = np.asarray(im, np.float32)
+        t0 = time.time()
+        if cfg.random > 1:
+            keys = jax.random.split(jax.random.PRNGKey(n), cfg.random)
+            res = best_of_restarts(attack, params, im, keys)
+        else:
+            res = attack(params, im)
+        res = jax.tree_util.tree_map(np.asarray, res)
+        dt = time.time() - t0
+
+        name = os.path.basename(path)
+        dbpp = (res["bpp"] - res["bpp_ori"]) / res["bpp_ori"]
+        print(
+            f"{name}: bpp_ori {res['bpp_ori']:.4f} bpp_adv {res['bpp']:.4f} "
+            f"dbpp {dbpp:+.4f} vi {res['vi']:.4f} vi_msim {res['vi_msim']:.4f} "
+            f"t {dt:.2f}s"
+        )
+        if cfg.debug or cfg.target:
+            os.makedirs(out_dir, exist_ok=True)
+            stem = out_dir + model_tag + os.path.splitext(name)[0]
+            write_image(res["im_"], f"{stem}_advin.png", h, w)
+            write_image(res["output_"], f"{stem}_advout.png", h, w)
+            noise_img = np.clip(res["im_"] - im + 0.5, 0.0, 1.0)
+            write_image(noise_img, f"{stem}_noise.png", h, w)
+
+        sums["bpp_ori"] += float(res["bpp_ori"])
+        sums["bpp"] += float(res["bpp"])
+        sums["vi"] += float(res["vi"])
+        sums["vi_msim"] += float(res["vi_msim"])
+        sums["t"] += dt
+        n += 1
+
+    avg = {k: v / n for k, v in sums.items()}
+    avg["dbpp"] = (avg["bpp"] - avg["bpp_ori"]) / avg["bpp_ori"]
+    print(
+        f"AVG: bpp_ori {avg['bpp_ori']:.4f} bpp_adv {avg['bpp']:.4f} "
+        f"dbpp {avg['dbpp']:+.4f} vi {avg['vi']:.4f} vi_msim {avg['vi_msim']:.4f} "
+        f"t {avg['t']:.2f}s"
+    )
+    return avg
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    if cfg.quality < 1:  # quality sweep, ref `attack_rd.py:706-715`
+        from ..models import quality_range
+
+        lo, hi = quality_range(cfg.model)
+        for q in range(lo, hi + 1):
+            cfg.quality = q
+            run(cfg)
+    else:
+        run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Shared configuration: dataclass + the public CLI flag surface.
+
+Every entry point shares one parser, like the reference's ``coder.config()``
+(`/root/reference/coder.py:166-219`).  The documented public flags
+(README.md:5-46) keep their exact spellings: ``-m -metric -q -s -t -steps
+-noise -lr_attack -e -la* --mask_loc --adv --defend --defend_m --debug
+--no-clamp -random -ssteps -re -p ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # device / precision
+    device: str = "tpu"
+    precision: str = "highest"  # matmul precision: 'highest' for parity, 'bfloat16' for speed
+    # training
+    lr_train: float = 1e-4
+    lamb: Optional[float] = None
+    eval: bool = False
+    adv: bool = False
+    batch_size: int = 8
+    # model
+    model: str = "hyper"
+    metric: str = "ms-ssim"
+    quality: int = 3
+    new: bool = False
+    padding_mode: str = "reflect"
+    # attack
+    steps: int = 1001
+    random: int = 1
+    lamb_attack: float = 0.2
+    noise: float = 0.0001
+    lr_attack: float = 0.01
+    source: str = "./datasets/kodak/kodim*.png"
+    target: Optional[str] = None
+    checkpoint: Optional[str] = None
+    mask_loc: Optional[List[int]] = None
+    lamb_bkg_in: float = 1.0
+    lamb_bkg_out: float = 1.0
+    lamb_tar: float = 1.0
+    att_metric: str = "L2"
+    epsilon: float = 16.0
+    rate: bool = False
+    pad: Optional[int] = None
+    log: str = "./logs/log.txt"
+    debug: bool = False
+    clamp: bool = True
+    search_steps: int = 20
+    recompress: Optional[int] = None
+    # defense
+    defend: bool = False
+    method: str = "ensemble"
+    degrade: Optional[str] = None
+    finetune: bool = False
+    # batching (TPU extension: images attacked per device step)
+    attack_batch: int = 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native adversarial toolkit for learned image compression"
+    )
+    d = Config()
+    p.add_argument("-device", type=str, default=d.device, help="jax platform")
+    p.add_argument("-precision", type=str, default=d.precision,
+                   help="matmul precision: highest|float32|bfloat16|default")
+    # train
+    p.add_argument("-lr_train", dest="lr_train", type=float, default=d.lr_train)
+    p.add_argument("-lamb", dest="lamb", type=float, default=d.lamb,
+                   help="training lambda (default: per-quality table)")
+    p.add_argument("--eval", dest="eval", action="store_true")
+    p.add_argument("--adv", action="store_true", help="adversarial training")
+    p.add_argument("-batch_size", type=int, default=d.batch_size)
+    # model
+    p.add_argument("-m", dest="model", type=str, default=d.model,
+                   help="factorized|hyper|context|cheng2020|debug")
+    p.add_argument("-metric", dest="metric", type=str, default=d.metric,
+                   help="mse or ms-ssim (checkpoint flavour)")
+    p.add_argument("-q", dest="quality", type=int, default=d.quality)
+    p.add_argument("--new", dest="new", action="store_true", help="fresh params")
+    p.add_argument("-padmode", dest="padding_mode", type=str, default=d.padding_mode)
+    # attack
+    p.add_argument("-steps", dest="steps", type=int, default=d.steps)
+    p.add_argument("-random", dest="random", type=int, default=d.random,
+                   help="random restarts (best-of)")
+    p.add_argument("-la", dest="lamb_attack", type=float, default=d.lamb_attack)
+    p.add_argument("-noise", dest="noise", type=float, default=d.noise,
+                   help="input L2 noise threshold")
+    p.add_argument("-lr_attack", dest="lr_attack", type=float, default=d.lr_attack)
+    p.add_argument("-s", dest="source", type=str, default=d.source)
+    p.add_argument("-t", dest="target", type=str, default=d.target)
+    p.add_argument("-ckpt", dest="checkpoint", type=str, default=d.checkpoint,
+                   help="local checkpoint (.pth/.pth.tar via converter, or .msgpack)")
+    p.add_argument("--mask_loc", nargs="+", type=int, default=d.mask_loc)
+    p.add_argument("-la_bkg_in", dest="lamb_bkg_in", type=float, default=d.lamb_bkg_in)
+    p.add_argument("-la_bkg_out", dest="lamb_bkg_out", type=float, default=d.lamb_bkg_out)
+    p.add_argument("-la_tar", dest="lamb_tar", type=float, default=d.lamb_tar)
+    p.add_argument("-att_metric", dest="att_metric", type=str, default=d.att_metric,
+                   help="L2 or ms-ssim")
+    p.add_argument("-e", dest="epsilon", type=float, default=d.epsilon,
+                   help="L-inf noise budget (/255)")
+    p.add_argument("-r", dest="rate", action="store_true", help="rate attack flag")
+    p.add_argument("-p", dest="pad", type=int, default=d.pad)
+    p.add_argument("--log", dest="log", type=str, default=d.log)
+    p.add_argument("--debug", dest="debug", action="store_true")
+    p.add_argument("--no-clamp", dest="clamp", action="store_false")
+    p.add_argument("-ssteps", dest="search_steps", type=int, default=d.search_steps)
+    p.add_argument("-re", dest="recompress", type=int, default=d.recompress)
+    # defense
+    p.add_argument("--defend", action="store_true")
+    p.add_argument("--defend_m", dest="method", type=str, default=d.method,
+                   help="ensemble|resize|bitdepth")
+    p.add_argument("-degrade", dest="degrade", type=str, default=d.degrade)
+    p.add_argument("--fintune", dest="finetune", action="store_true")
+    # TPU extension
+    p.add_argument("-attack_batch", dest="attack_batch", type=int,
+                   default=d.attack_batch, help="images attacked per device step")
+    return p
+
+
+def parse_config(argv=None) -> Config:
+    ns = build_parser().parse_args(argv)
+    cfg = Config(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)})
+    return cfg
+
+
+def apply_precision(cfg: Config) -> None:
+    """Set the global matmul precision knob before any compilation."""
+    import jax
+
+    mapping = {
+        "highest": "highest",
+        "float32": "highest",
+        "bfloat16": "bfloat16",
+        "default": "default",
+    }
+    jax.config.update("jax_default_matmul_precision", mapping.get(cfg.precision, "highest"))

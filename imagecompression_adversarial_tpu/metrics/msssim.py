@@ -24,9 +24,13 @@ _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 @functools.lru_cache(maxsize=None)
 def _gaussian_kernel(win_size: int, sigma: float):
-    coords = jnp.arange(win_size, dtype=jnp.float32) - (win_size - 1) / 2.0
-    g = jnp.exp(-(coords ** 2) / (2.0 * sigma ** 2))
-    return g / jnp.sum(g)
+    # Cached as a NUMPY array: a jnp constant created inside one jit trace
+    # must not be reused in another (tracer leak).
+    import numpy as np
+
+    coords = np.arange(win_size, dtype=np.float32) - (win_size - 1) / 2.0
+    g = np.exp(-(coords ** 2) / (2.0 * sigma ** 2))
+    return g / np.sum(g)
 
 
 def _blur(x: jax.Array, window: jax.Array) -> jax.Array:
