@@ -32,6 +32,9 @@ class RDAttackConfig:
     random_restarts: int = 1  # `-random`
     lr_milgamma: float = 0.33
     debug_model: bool = False  # reference 'debug' arch skips [0,1] clamp
+    # adaptive attack: optimize THROUGH the defense (ref
+    # `self_ensemble.py:254-274` with --adv)
+    defend_in_loop: Optional[str] = None  # None | 'ensemble' | 'resize' | 'bitdepth'
 
 
 def multistep_lr_schedule(

@@ -53,8 +53,20 @@ def _attack_loss(apply_fn, x, output_s, noise, cfg: RDAttackConfig):
         return loss, jnp.asarray(0.0, loss_i.dtype)
 
     def output_phase(_):
-        out = apply_fn(im_in, quant_mode="none")
-        x_ = out["x_hat"]
+        if cfg.defend_in_loop == "ensemble":
+            from ..defenses.self_ensemble import self_ensemble
+
+            x_ = self_ensemble(apply_fn, im_in, quant_mode="none")["x_hat"]
+        elif cfg.defend_in_loop == "bitdepth":
+            from ..defenses.self_ensemble import bitdepth_reduction
+
+            x_ = apply_fn(bitdepth_reduction(im_in), quant_mode="none")["x_hat"]
+        elif cfg.defend_in_loop == "resize":
+            from ..defenses.self_ensemble import random_resize
+
+            x_ = apply_fn(random_resize(im_in)[0], quant_mode="none")["x_hat"]
+        else:
+            x_ = apply_fn(im_in, quant_mode="none")["x_hat"]
         output_ = bound_clip(x_, 0.0, 1.0) if cfg.clamp else x_
         if cfg.att_metric == "ms-ssim":
             loss_o = ms_ssim(output_, output_s)

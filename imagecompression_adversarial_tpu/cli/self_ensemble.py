@@ -1,0 +1,50 @@
+"""CLI: defense evaluation — attack images, evaluate through the defense.
+
+Mirrors ``python self_ensemble.py --defend [--defend_m ensemble|resize|
+bitdepth] [--adv]`` (`/root/reference/self_ensemble.py:328-441`): the RD
+attack runs against each image and the final evaluation routes through the
+chosen input-transform defense; ``--adv`` makes the attack adaptive
+(optimizes through the defense in the loss).
+"""
+
+from __future__ import annotations
+
+from ..attacks import RDAttackConfig, make_attack_fn
+from ..config import apply_precision, parse_config
+from ..defenses import make_defend_fn
+from ..runtime import load_model
+from ._corpus import run_corpus
+
+
+def run(cfg) -> dict:
+    apply_precision(cfg)
+    module, params = load_model(cfg)
+
+    att_cfg = RDAttackConfig(
+        steps=cfg.steps,
+        lr=cfg.lr_attack,
+        noise_threshold=cfg.noise,
+        epsilon=cfg.epsilon,
+        clamp=cfg.clamp,
+        defend_in_loop=cfg.method if (cfg.adv and cfg.defend) else None,
+    )
+    defend_builder = (
+        (lambda apply_fn: make_defend_fn(apply_fn, cfg.method))
+        if cfg.defend
+        else None
+    )
+    attack = make_attack_fn(module, att_cfg, defend_fn_builder=defend_builder)
+
+    def per_image(im, idx):
+        return attack(params, im)
+
+    return run_corpus(cfg.source, per_image)
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""I-FGSM / PGD / MI-FGSM and C&W attack tests (small step counts)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagecompression_adversarial_tpu.attacks.cw import CWAttackConfig, make_cw_attack_fn
+from imagecompression_adversarial_tpu.attacks.ifgsm import (
+    IFGSMConfig,
+    best_of_multistart,
+    make_ifgsm_fn,
+)
+from imagecompression_adversarial_tpu.models import init_model, init_params
+
+
+def _setup(name="factorized"):
+    module = init_model(name, 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 192, 192, 3))
+    return module, params, x
+
+
+def test_bim_respects_linf_ball():
+    module, params, x = _setup()
+    cfg = IFGSMConfig(steps=6, epsilon=8.0)
+    res = make_ifgsm_fn(module, cfg)(params, x)
+    noise = np.asarray(res["im_"]) - np.asarray(x)
+    assert np.abs(noise).max() <= 8.0 / 255.0 + 1e-5
+    assert np.isfinite(float(res["vi"]))
+
+
+def test_pgd_random_start_differs_from_bim():
+    module, params, x = _setup()
+    bim = make_ifgsm_fn(module, IFGSMConfig(steps=4))(params, x)
+    pgd = make_ifgsm_fn(module, IFGSMConfig(steps=4, random_start=True))(
+        params, x, jax.random.PRNGKey(7)
+    )
+    assert not np.allclose(np.asarray(bim["im_"]), np.asarray(pgd["im_"]))
+
+
+def test_mifgsm_momentum_path():
+    module, params, x = _setup()
+    cfg = IFGSMConfig(steps=5, momentum=True)
+    res = make_ifgsm_fn(module, cfg)(params, x)
+    adv = np.asarray(res["im_"])
+    assert adv.min() >= 0.0 and adv.max() <= 1.0
+    assert np.isfinite(float(res["vi"]))
+
+
+def test_multistart_picks_best_vi():
+    module, params, x = _setup()
+    attack = make_ifgsm_fn(module, IFGSMConfig(steps=3, random_start=True))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    best = best_of_multistart(attack, params, x, keys)
+    singles = [attack(params, x, k) for k in keys]
+    assert float(best["vi"]) == max(float(s["vi"]) for s in singles)
+
+
+def test_cw_attack_converges_toward_budget():
+    module, params, x = _setup()
+    cfg = CWAttackConfig(steps=5, search_steps=3, noise_threshold=1e-4)
+    res = make_cw_attack_fn(module, cfg)(params, x)
+    assert np.isfinite(float(res["vi"]))
+    assert float(res["mse_in"]) <= 0.1 + 1e-6  # bounded by the outer range
+    assert int(res["outer_rounds"]) >= 1
+
+
+def test_cw_fast_variant():
+    module, params, x = _setup()
+    cfg = CWAttackConfig(steps=4, search_steps=3, fast=True)
+    res = make_cw_attack_fn(module, cfg)(params, x)
+    assert np.isfinite(float(res["vi"]))
