@@ -148,6 +148,64 @@ def make_attack_fn(
     return jax.jit(attack)
 
 
+def make_adv_example_fn(module, cfg: RDAttackConfig):
+    """Attack-scan for adversarial TRAINING: (params, batch, noise_threshold,
+    key) -> im_adv.
+
+    Same loop as `make_attack_fn` but the input-budget threshold is a traced
+    scalar (the reference ramps it over the first 100 training steps,
+    `/root/reference/train.py:338-339` — no retrace per ramp value) and the
+    post-attack evaluation is skipped: the training step consumes the raw
+    adversarial batch (`train.py:342-347`).  Operates on full batches; the
+    two-phase switch uses the batch-mean input loss, like the reference's
+    scalar-mean loss on a batch tensor.
+    """
+    lrs = jnp.asarray(multistep_lr_schedule(cfg.steps, cfg.lr, cfg.lr_milgamma))
+    opt = adam_on_noise()
+    eps = cfg.epsilon / 255.0
+
+    def adv_example(params, x, noise_threshold, key=None):
+        apply_fn = lambda im, quant_mode: module.apply(
+            {"params": params}, im, quant_mode=quant_mode
+        )
+        result_s = apply_fn(x, quant_mode="dequantize")
+        output_s = (
+            jnp.clip(result_s["x_hat"], 0.0, 1.0) if cfg.clamp else result_s["x_hat"]
+        )
+
+        def loss_fn(noise):
+            noise_c = bound_clip(noise, -eps, eps)
+            im_in = bound_clip(x + noise_c, 0.0, 1.0)
+            loss_i = jnp.mean((x - im_in) ** 2)
+
+            def input_phase(_):
+                return loss_i
+
+            def output_phase(_):
+                out = apply_fn(im_in, quant_mode="none")
+                x_ = out["x_hat"]
+                output_ = bound_clip(x_, 0.0, 1.0) if cfg.clamp else x_
+                return 1.0 - jnp.mean((output_s - output_) ** 2)
+
+            return jax.lax.cond(loss_i > noise_threshold, input_phase, output_phase, None)
+
+        noise0 = init_noise(x.shape, cfg, key)
+        opt_state0 = opt.init(noise0)
+        grad_fn = jax.grad(loss_fn)
+
+        def step(carry, lr):
+            noise, opt_state = carry
+            grads = grad_fn(noise)
+            updates, opt_state = opt.update(grads, opt_state)
+            noise = noise + jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            return (noise, opt_state), None
+
+        (noise, _), _ = jax.lax.scan(step, (noise0, opt_state0), lrs)
+        return bound_clip(x + bound_clip(noise, -eps, eps), 0.0, 1.0)
+
+    return adv_example
+
+
 def make_batch_attack_fn(module, cfg: RDAttackConfig):
     """vmap the attack over a leading image axis (each element is its own
     independent Adam-on-noise run; `lax.cond` lowers to `select` under vmap,

@@ -15,8 +15,9 @@ from imagecompression_adversarial_tpu.train.loss import (
     rate_distortion_loss,
 )
 from imagecompression_adversarial_tpu.train.step import (
-    _quantiles_mask,
+    ReduceLROnPlateau,
     create_train_state,
+    quantile_labels,
 )
 
 
@@ -39,13 +40,20 @@ def test_rate_distortion_loss_mse():
     assert float(out["bpp_loss"]) > 0
 
 
-def test_quantiles_mask_selects_only_quantiles():
+def test_quantile_labels_select_only_quantiles():
     module = init_model("hyper", 1)
     params = init_params(module, jax.random.PRNGKey(0))
-    mask = _quantiles_mask(params)
-    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
-    marked = [jax.tree_util.keystr(p) for p, v in flat if v]
+    labels = quantile_labels(params)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    marked = [jax.tree_util.keystr(p) for p, v in flat if v == "aux"]
     assert marked == ["['entropy_bottleneck']['quantiles']"]
+    assert all(v in ("aux", "main") for _, v in flat)
+
+
+def test_reduce_lr_on_plateau():
+    sched = ReduceLROnPlateau(lr=1e-4, patience=2)
+    lrs = [sched.step(1.0) for _ in range(6)]  # no improvement after first
+    assert lrs[0] == 1e-4 and lrs[-1] < 1e-4
 
 
 def test_train_step_updates_params_and_quantiles():
@@ -55,7 +63,7 @@ def test_train_step_updates_params_and_quantiles():
     state, train_step = create_train_state(module, params)
 
     batch = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
-    step = jax.jit(lambda s, b, r: train_step(s, b, r, 0.01, "mse"))
+    step = jax.jit(lambda s, b, r: train_step(s, b, r, 1e-4, 0.01, "mse"))
     new_state, logs = step(state, batch, jax.random.PRNGKey(2))
 
     assert np.isfinite(float(logs["loss"]))
