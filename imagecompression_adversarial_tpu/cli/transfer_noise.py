@@ -1,0 +1,75 @@
+"""CLI: adversarial-noise transferability matrices.
+
+Mirrors ``python transfer_noise.py -s <targets> -s2 <sources>`` and
+``--cross-model`` (`/root/reference/transfer_noise.py:98-176`): cross-image
+VI matrix for one model, or the model x model transfer matrix over
+{factorized, hyper, context, cheng2020}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..attacks import RDAttackConfig, make_attack_fn
+from ..analysis import (
+    cross_image_matrix,
+    cross_model_matrix,
+    make_transfer_eval_fn,
+    plot_matrix,
+)
+from ..config import Config, apply_precision, build_parser
+from ..io.image import list_images, read_image
+from ..runtime import load_model
+
+
+def run(cfg, source2=None, cross_model=False) -> np.ndarray:
+    apply_precision(cfg)
+
+    att_kwargs = dict(
+        steps=cfg.steps, lr=cfg.lr_attack, noise_threshold=cfg.noise,
+        epsilon=cfg.epsilon, clamp=cfg.clamp,
+    )
+
+    if cross_model:
+        archs = ["factorized", "hyper", "context", "cheng2020"]
+        attacks, evals = [], []
+        for arch in archs:
+            c = dataclasses.replace(cfg, model=arch,
+                                    quality=min(cfg.quality, 6))
+            module, params = load_model(c)
+            attacks.append((make_attack_fn(module, RDAttackConfig(**att_kwargs)), params))
+            evals.append((make_transfer_eval_fn(module), params))
+        images = [read_image(f)[0] for f in list_images(cfg.source)]
+        matrix = cross_model_matrix(attacks, evals, images)
+        print("cross-model transfer matrix (rows: attacked, cols: evaluated):")
+        print(np.round(matrix, 2))
+        plot_matrix(matrix, "transfer_cross_model.pdf")
+        return matrix
+
+    module, params = load_model(cfg)
+    attack = make_attack_fn(module, RDAttackConfig(**att_kwargs))
+    eval_fn = make_transfer_eval_fn(module)
+    src_files = list_images(source2 or cfg.source)
+    images = [read_image(f)[0] for f in src_files]
+    matrix = cross_image_matrix(attack, eval_fn, params, images)
+    print("cross-image transfer VI matrix:")
+    print(np.round(matrix, 2))
+    tag = f"{cfg.model}_{cfg.quality}_{cfg.metric}_"
+    np.save(tag + "transfer.npy", matrix)
+    plot_matrix(matrix, tag + "transfer.pdf")
+    return matrix
+
+
+def main(argv=None):
+    parser = build_parser()
+    parser.add_argument("-s2", "--source2", type=str, default=None)
+    parser.add_argument("--cross-model", dest="cross_model", action="store_true")
+    ns = parser.parse_args(argv)
+    cfg = Config(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)})
+    run(cfg, source2=ns.source2, cross_model=ns.cross_model)
+
+
+if __name__ == "__main__":
+    main()
