@@ -131,9 +131,18 @@ def parse_config(argv=None) -> Config:
 
 
 def apply_precision(cfg: Config) -> None:
-    """Set the global matmul precision knob before any compilation."""
+    """Set the global platform + matmul precision knobs before compilation."""
     import jax
 
+    if cfg.device in ("cpu", "tpu"):
+        # the sandbox site-hook forces platforms to "axon,cpu"; -device cpu
+        # pins the host backend explicitly
+        try:
+            jax.config.update(
+                "jax_platforms", "cpu" if cfg.device == "cpu" else "axon,cpu"
+            )
+        except RuntimeError:
+            pass  # backends already initialized
     mapping = {
         "highest": "highest",
         "float32": "highest",

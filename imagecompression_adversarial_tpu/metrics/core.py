@@ -51,15 +51,19 @@ def vi_msim(msim_in: jax.Array, msim_out: jax.Array) -> jax.Array:
 
 
 # BT.601 full-range RGB <-> YUV (reference torch_rgb2yuv444).
-_RGB2YUV = jnp.array(
+# numpy on purpose: module-level jnp constants would initialize the device
+# backend at import time.
+import numpy as _np
+
+_RGB2YUV = _np.array(
     [
         [0.299, 0.587, 0.114],
         [-0.169, -0.331, 0.499],
         [0.499, -0.418, -0.0813],
     ],
-    jnp.float32,
+    _np.float32,
 )
-_YUV_OFFSET = jnp.array([0.0, 128.0 / 255.0, 128.0 / 255.0], jnp.float32)
+_YUV_OFFSET = _np.array([0.0, 128.0 / 255.0, 128.0 / 255.0], _np.float32)
 
 
 def rgb2yuv444(x: jax.Array) -> jax.Array:
