@@ -1,0 +1,133 @@
+"""Real bitstream compression: JAX transforms + native rANS coder.
+
+The equivalent of CompressAI's ``model.compress()/decompress()`` (reached by
+the reference at e.g. `/root/reference/attack_TIC.py:106-116`): analysis
+transforms and entropy parameters run on TPU; symbols stream through the
+C++ rANS coder on host; synthesis runs back on TPU.
+
+Supported: ``factorized`` and ``hyper`` (scale hyperprior).  The
+autoregressive families (context / cheng2020) need decode-order sequential
+context modeling and are gated until that milestone (SURVEY §7.3 "hard
+parts" — their estimation path used by every attack is fully supported).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.codecs import FactorizedPrior, ScaleHyperprior
+from . import rans
+from .gaussian import default_scale_table
+from .tables import build_eb_tables, build_gc_tables, gc_build_indexes
+
+
+class RealCodec:
+    """Bit-exact encode/decode around a trained codec."""
+
+    def __init__(self, module, params):
+        self.module = module
+        self.params = params
+        self.eb_tables = build_eb_tables(params["entropy_bottleneck"])
+        self.is_hyper = isinstance(module, ScaleHyperprior)
+        self.is_factorized = isinstance(module, FactorizedPrior)
+        if not (self.is_hyper or self.is_factorized):
+            raise NotImplementedError(
+                "real-coder path supports factorized/hyper; autoregressive "
+                "context decoding is a later milestone"
+            )
+        if self.is_hyper:
+            self.gc_tables = build_gc_tables(np.asarray(default_scale_table()))
+
+        self._g_a = jax.jit(
+            lambda x: module.apply({"params": params}, x, method=module.g_a)
+        )
+        self._g_s = jax.jit(
+            lambda y: module.apply({"params": params}, y, method=module.g_s)
+        )
+        if self.is_hyper:
+            self._h_a = jax.jit(
+                lambda y: module.apply(
+                    {"params": params}, jnp.abs(y), method=module.h_a
+                )
+            )
+            self._h_s = jax.jit(
+                lambda z: module.apply({"params": params}, z, method=module.h_s)
+            )
+
+    # ------------------------------------------------------------------ EB
+
+    def _eb_encode(self, z: np.ndarray) -> Tuple[bytes, np.ndarray]:
+        """Encode NHWC latents with the factorized model (channel-indexed)."""
+        t = self.eb_tables
+        c = z.shape[-1]
+        medians = t["medians"].reshape(1, 1, 1, c)
+        symbols = np.round(z - medians).astype(np.int32)
+        indexes = np.broadcast_to(
+            np.arange(c, dtype=np.int32), z.shape
+        ).ravel()
+        string = rans.encode_with_indexes(
+            symbols.ravel(), indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
+        )
+        z_hat = symbols.astype(np.float32) + medians
+        return string, z_hat
+
+    def _eb_decode(self, string: bytes, shape) -> np.ndarray:
+        t = self.eb_tables
+        c = shape[-1]
+        indexes = np.broadcast_to(np.arange(c, dtype=np.int32), shape).ravel()
+        symbols = rans.decode_with_indexes(
+            string, indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
+        )
+        medians = t["medians"].reshape(1, 1, 1, c)
+        return symbols.reshape(shape).astype(np.float32) + medians
+
+    # ------------------------------------------------------------ public
+
+    def compress(self, x) -> Dict:
+        """x: (1, H, W, 3) in [0,1] -> {"strings": [...], "shape": (h, w)}."""
+        y = np.asarray(self._g_a(jnp.asarray(x)))
+        if self.is_factorized:
+            y_string, _ = self._eb_encode(y)
+            return {"strings": [y_string], "shape": y.shape[1:3]}
+
+        z = np.asarray(self._h_a(jnp.asarray(y)))
+        z_string, z_hat = self._eb_encode(z)
+        scales = np.asarray(self._h_s(jnp.asarray(z_hat)))
+        t = self.gc_tables
+        indexes = gc_build_indexes(scales, t["scale_table"]).ravel()
+        symbols = np.round(y).astype(np.int32).ravel()
+        y_string = rans.encode_with_indexes(
+            symbols, indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
+        )
+        return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
+
+    def decompress(self, strings: List[bytes], shape) -> np.ndarray:
+        """Inverse of compress; returns the reconstruction in [0,1]."""
+        if self.is_factorized:
+            (y_string,) = strings
+            h, w = shape
+            c = self.eb_tables["medians"].shape[0]
+            y_hat = self._eb_decode(y_string, (1, h, w, c))
+            x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
+            return np.clip(x_hat, 0.0, 1.0)
+
+        y_string, z_string = strings
+        h, w = shape
+        cz = self.eb_tables["medians"].shape[0]
+        z_hat = self._eb_decode(z_string, (1, h, w, cz))
+        scales = np.asarray(self._h_s(jnp.asarray(z_hat)))
+        t = self.gc_tables
+        indexes = gc_build_indexes(scales, t["scale_table"]).ravel()
+        symbols = rans.decode_with_indexes(
+            y_string, indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
+        )
+        y_hat = symbols.reshape(scales.shape).astype(np.float32)
+        x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
+        return np.clip(x_hat, 0.0, 1.0)
+
+    def real_bpp(self, result: Dict, num_pixels: int) -> float:
+        return sum(len(s) for s in result["strings"]) * 8.0 / num_pixels

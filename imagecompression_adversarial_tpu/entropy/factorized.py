@@ -37,6 +37,38 @@ from ..ops.quant import quantize
 _LIKELIHOOD_BOUND = 1e-9
 
 
+def eb_logits_cumulative(params, inputs, stop_gradient: bool = False):
+    """CDF-logit chain as a pure function of the EB parameter dict.
+
+    ``params`` holds matrix_k (C, d_out, d_in), bias_k (C, d_out, 1) and
+    factor_k (C, d_out, 1); ``inputs`` has shape (C, 1, N).  Shared by the
+    linen module and the range-coder table builder (entropy/tables.py).
+    """
+    n_layers = len([k for k in params if k.startswith("matrix_")])
+    logits = inputs
+    for k in range(n_layers):
+        matrix = params[f"matrix_{k}"]
+        bias = params[f"bias_{k}"]
+        if stop_gradient:
+            matrix = jax.lax.stop_gradient(matrix)
+            bias = jax.lax.stop_gradient(bias)
+        logits = jnp.einsum("cof,cfn->con", jax.nn.softplus(matrix), logits) + bias
+        if k < n_layers - 1:
+            factor = params[f"factor_{k}"]
+            if stop_gradient:
+                factor = jax.lax.stop_gradient(factor)
+            logits = logits + jnp.tanh(factor) * jnp.tanh(logits)
+    return logits
+
+
+def eb_likelihood(params, inputs):
+    """Unit-bin likelihood as a pure function; ``inputs`` (C, 1, N)."""
+    lower = eb_logits_cumulative(params, inputs - 0.5)
+    upper = eb_logits_cumulative(params, inputs + 0.5)
+    sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
+    return jnp.abs(jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))
+
+
 class EntropyBottleneck(nn.Module):
     """Per-channel non-parametric entropy model.
 
@@ -96,34 +128,23 @@ class EntropyBottleneck(nn.Module):
 
     # ------------------------------------------------------------------ core
 
+    def _param_dict(self):
+        d = {}
+        for k, m in enumerate(self._matrices):
+            d[f"matrix_{k}"] = m
+        for k, b in enumerate(self._biases):
+            d[f"bias_{k}"] = b
+        for k, f in enumerate(self._factors):
+            d[f"factor_{k}"] = f
+        return d
+
     def _logits_cumulative(self, inputs: jax.Array, stop_gradient: bool) -> jax.Array:
         """CDF logits; ``inputs`` has shape (C, 1, N)."""
-        logits = inputs
-        n_layers = len(self._dims) - 1
-        for k in range(n_layers):
-            matrix = self._matrices[k]
-            bias = self._biases[k]
-            if stop_gradient:
-                matrix = jax.lax.stop_gradient(matrix)
-                bias = jax.lax.stop_gradient(bias)
-            logits = jnp.einsum("cof,cfn->con", jax.nn.softplus(matrix), logits) + bias
-            if k < n_layers - 1:
-                factor = self._factors[k]
-                if stop_gradient:
-                    factor = jax.lax.stop_gradient(factor)
-                logits = logits + jnp.tanh(factor) * jnp.tanh(logits)
-        return logits
+        return eb_logits_cumulative(self._param_dict(), inputs, stop_gradient)
 
     def _likelihood(self, inputs: jax.Array) -> jax.Array:
         """Pointwise likelihoods; ``inputs`` has shape (C, 1, N)."""
-        lower = self._logits_cumulative(inputs - 0.5, stop_gradient=False)
-        upper = self._logits_cumulative(inputs + 0.5, stop_gradient=False)
-        # Numerically stable sigmoid difference: flip the branch so both
-        # sigmoids are evaluated on the saturating side.
-        sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
-        return jnp.abs(
-            jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower)
-        )
+        return eb_likelihood(self._param_dict(), inputs)
 
     @property
     def medians(self) -> jax.Array:

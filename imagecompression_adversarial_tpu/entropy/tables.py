@@ -1,0 +1,169 @@
+"""Quantized CDF table construction for the rANS coder.
+
+Derives, from trained entropy-model parameters, the integer CDF rows the
+native coder consumes — the derived state CompressAI persists as
+``_quantized_cdf``/``_offset``/``_cdf_length`` buffers (which the reference
+has to resize around on checkpoint load, `/root/reference/anchors/utils.py:
+46-109`; we regenerate instead of loading).
+
+  * ``pmf_to_quantized_cdf``: 16-bit quantization with a guaranteed nonzero
+    escape slot (largest-freq stealing keeps the total at 2^16)
+  * ``build_eb_tables``: per-channel pmf of the factorized model sampled on
+    the integer lattice spanned by the learned quantiles
+  * ``build_gc_tables``: per-scale pmf of the conditional Gaussian over the
+    64-entry log-spaced scale table; ``gc_build_indexes`` maps predicted
+    scales to rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import numpy as np
+from scipy import stats
+
+from .factorized import eb_likelihood, eb_logits_cumulative
+from .gaussian import SCALE_BOUND, default_scale_table
+
+PRECISION = 16
+_SCALE = 1 << PRECISION
+
+
+def pmf_to_quantized_cdf(pmf: np.ndarray, tail_mass: float) -> np.ndarray:
+    """Quantize [pmf..., tail_mass] to an integer CDF summing to 2^16.
+
+    Every slot (including the escape) keeps frequency >= 1; the excess /
+    deficit is absorbed by the largest entries.
+    """
+    probs = np.concatenate([np.asarray(pmf, np.float64), [max(tail_mass, 0.0)]])
+    probs = np.maximum(probs, 0.0)
+    total = probs.sum()
+    if total <= 0:
+        probs = np.ones_like(probs)
+        total = probs.sum()
+    freqs = np.round(probs / total * _SCALE).astype(np.int64)
+    freqs = np.maximum(freqs, 1)
+    diff = _SCALE - freqs.sum()
+    while diff != 0:
+        if diff > 0:
+            freqs[np.argmax(freqs)] += diff
+            diff = 0
+        else:
+            # steal from the largest entry, keeping it >= 1
+            i = int(np.argmax(freqs))
+            take = min(-diff, freqs[i] - 1)
+            freqs[i] -= take
+            diff += take
+            if take == 0:
+                raise ValueError("cannot normalize pmf to 2^16")
+    cdf = np.zeros(len(freqs) + 1, np.uint32)
+    cdf[1:] = np.cumsum(freqs)
+    return cdf
+
+
+def _pad_rows(rows, sizes):
+    """Stack variable-length CDF rows into a (R, stride) matrix."""
+    stride = max(len(r) for r in rows)
+    out = np.zeros((len(rows), stride), np.uint32)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+        out[i, len(r):] = r[-1]
+    return out
+
+
+def build_eb_tables(eb_params: Dict, tail_mass: float = 1e-9) -> Dict:
+    """CDF tables for an EntropyBottleneck parameter dict.
+
+    Returns {cdfs, cdf_sizes, offsets, medians} (numpy).
+    """
+    import jax.numpy as jnp
+
+    quantiles = np.asarray(eb_params["quantiles"])  # (C, 1, 3)
+    medians = quantiles[:, 0, 1]
+    minima = np.ceil(medians - quantiles[:, 0, 0]).astype(np.int64)
+    maxima = np.ceil(quantiles[:, 0, 2] - medians).astype(np.int64)
+    minima = np.maximum(minima, 0)
+    maxima = np.maximum(maxima, 0)
+    c = quantiles.shape[0]
+
+    rows, sizes, offsets = [], [], []
+    max_len = int((minima + maxima).max()) + 1
+    # sample all channels on a common lattice, then cut per channel
+    samples = np.arange(max_len, dtype=np.float32)  # offsets from start
+    start = (medians - minima).astype(np.float32)
+    grid = start[:, None] + samples[None, :]  # (C, max_len)
+    lik = np.asarray(
+        eb_likelihood(
+            {k: jnp.asarray(v) for k, v in eb_params.items() if k != "quantiles"},
+            jnp.asarray(grid[:, None, :]),
+        )
+    )[:, 0, :]
+    # per-channel tail mass from the true CDF logits
+    lower_logit = np.asarray(
+        eb_logits_cumulative(
+            {k: jnp.asarray(v) for k, v in eb_params.items() if k != "quantiles"},
+            jnp.asarray((start - 0.5)[:, None, None]),
+        )
+    )[:, 0, 0]
+    end = start + (minima + maxima).astype(np.float32)
+    upper_logit = np.asarray(
+        eb_logits_cumulative(
+            {k: jnp.asarray(v) for k, v in eb_params.items() if k != "quantiles"},
+            jnp.asarray((end + 0.5)[:, None, None]),
+        )
+    )[:, 0, 0]
+    tails = 1.0 / (1.0 + np.exp(-lower_logit)) + 1.0 / (1.0 + np.exp(upper_logit))
+
+    for ch in range(c):
+        n = int(minima[ch] + maxima[ch]) + 1
+        pmf = lik[ch, :n]
+        cdf = pmf_to_quantized_cdf(pmf, float(tails[ch]))
+        rows.append(cdf)
+        sizes.append(len(cdf) - 1)
+        offsets.append(-int(minima[ch]))
+
+    return {
+        "cdfs": _pad_rows(rows, sizes),
+        "cdf_sizes": np.asarray(sizes, np.int32),
+        "offsets": np.asarray(offsets, np.int32),
+        "medians": medians.astype(np.float32),
+    }
+
+
+def build_gc_tables(
+    scale_table: np.ndarray | None = None, tail_mass: float = 1e-9
+) -> Dict:
+    """CDF tables for the conditional Gaussian over a scale table."""
+    if scale_table is None:
+        scale_table = np.asarray(default_scale_table())
+    scale_table = np.asarray(scale_table, np.float64)
+
+    multiplier = -stats.norm.ppf(tail_mass / 2.0)
+    centers = np.ceil(scale_table * multiplier).astype(np.int64)
+
+    rows, sizes, offsets = [], [], []
+    for s, center in zip(scale_table, centers):
+        v = np.arange(-center, center + 1, dtype=np.float64)
+        upper = stats.norm.cdf((v + 0.5) / s)
+        lower = stats.norm.cdf((v - 0.5) / s)
+        pmf = upper - lower
+        tail = 2.0 * stats.norm.cdf((-0.5 - center) / s)
+        cdf = pmf_to_quantized_cdf(pmf, tail)
+        rows.append(cdf)
+        sizes.append(len(cdf) - 1)
+        offsets.append(-int(center))
+
+    return {
+        "cdfs": _pad_rows(rows, sizes),
+        "cdf_sizes": np.asarray(sizes, np.int32),
+        "offsets": np.asarray(offsets, np.int32),
+        "scale_table": scale_table.astype(np.float32),
+    }
+
+
+def gc_build_indexes(scales: np.ndarray, scale_table: np.ndarray) -> np.ndarray:
+    """Row index per element: smallest i with scale <= scale_table[i]
+    (CompressAI convention); scales floored at SCALE_BOUND."""
+    scales = np.maximum(np.asarray(scales, np.float64), SCALE_BOUND)
+    return np.searchsorted(scale_table[:-1], scales, side="left").astype(np.int32)
