@@ -57,19 +57,9 @@ def run(cfg) -> dict:
 
     sums = {"bpp_ori": 0.0, "bpp": 0.0, "vi": 0.0, "vi_msim": 0.0, "t": 0.0}
     n = 0
-    for path in files:
-        im, h, w = read_image(path)
-        im = np.asarray(im, np.float32)
-        t0 = time.time()
-        if cfg.random > 1:
-            keys = jax.random.split(jax.random.PRNGKey(n), cfg.random)
-            res = best_of_restarts(attack, params, im, keys)
-        else:
-            res = attack(params, im)
-        res = jax.tree_util.tree_map(np.asarray, res)
-        dt = time.time() - t0
 
-        name = os.path.basename(path)
+    def report(name, res, im, h, w, dt):
+        nonlocal n
         dbpp = (res["bpp"] - res["bpp_ori"]) / res["bpp_ori"]
         print(
             f"{name}: bpp_ori {res['bpp_ori']:.4f} bpp_adv {res['bpp']:.4f} "
@@ -83,13 +73,44 @@ def run(cfg) -> dict:
             write_image(res["output_"], f"{stem}_advout.png", h, w)
             noise_img = np.clip(res["im_"] - im + 0.5, 0.0, 1.0)
             write_image(noise_img, f"{stem}_noise.png", h, w)
-
-        sums["bpp_ori"] += float(res["bpp_ori"])
-        sums["bpp"] += float(res["bpp"])
-        sums["vi"] += float(res["vi"])
-        sums["vi_msim"] += float(res["vi_msim"])
+        for k in ("bpp_ori", "bpp", "vi", "vi_msim"):
+            sums[k] += float(res[k])
         sums["t"] += dt
         n += 1
+
+    if cfg.attack_batch > 1 and cfg.random <= 1:
+        # TPU batch mode: vmapped attack over same-shape image groups
+        # (replaces the reference's per-image loop, `attack_rd.py:654-681`)
+        from ..attacks import make_batch_attack_fn
+
+        batched = make_batch_attack_fn(module, att_cfg)
+        groups = {}
+        for path in files:
+            im, h, w = read_image(path)
+            groups.setdefault(im.shape, []).append((path, im, h, w))
+        for shape, items in groups.items():
+            for i in range(0, len(items), cfg.attack_batch):
+                chunk = items[i : i + cfg.attack_batch]
+                xs = np.stack([c[1] for c in chunk]).astype(np.float32)
+                t0 = time.time()
+                res_b = batched(params, xs)
+                res_b = jax.tree_util.tree_map(np.asarray, res_b)
+                dt = (time.time() - t0) / len(chunk)
+                for j, (path, im, h, w) in enumerate(chunk):
+                    res = jax.tree_util.tree_map(lambda a: a[j], res_b)
+                    report(os.path.basename(path), res, im, h, w, dt)
+    else:
+        for path in files:
+            im, h, w = read_image(path)
+            im = np.asarray(im, np.float32)
+            t0 = time.time()
+            if cfg.random > 1:
+                keys = jax.random.split(jax.random.PRNGKey(n), cfg.random)
+                res = best_of_restarts(attack, params, im, keys)
+            else:
+                res = attack(params, im)
+            res = jax.tree_util.tree_map(np.asarray, res)
+            report(os.path.basename(path), res, im, h, w, time.time() - t0)
 
     avg = {k: v / n for k, v in sums.items()}
     avg["dbpp"] = (avg["bpp"] - avg["bpp_ori"]) / avg["bpp_ori"]

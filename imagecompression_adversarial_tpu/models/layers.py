@@ -135,6 +135,7 @@ class GDN(nn.Module):
     beta_min: float = 1e-6
     gamma_init: float = 0.1
     reparam_offset: float = 2 ** -18
+    impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     @nn.compact
     def __call__(self, x):
@@ -158,6 +159,20 @@ class GDN(nn.Module):
 
         beta = lower_bound(beta_r, beta_bound) ** 2 - pedestal
         gamma = lower_bound(gamma_r, gamma_bound) ** 2 - pedestal
+
+        impl = self.impl
+        if impl == "auto":
+            import os
+
+            impl = "pallas" if os.environ.get("ICAT_PALLAS_GDN") == "1" else "xla"
+        if impl == "pallas":
+            from ..ops.pallas_gdn import gdn_fused
+
+            interpret = jax.default_backend() != "tpu"
+            return gdn_fused(
+                x, gamma.astype(x.dtype), beta.astype(x.dtype),
+                self.inverse, interpret,
+            )
 
         # norm[..., o] = sum_i gamma[o, i] * x[..., i]^2 + beta[o]
         norm = jnp.einsum("...i,oi->...o", (x * x), gamma.astype(x.dtype)) + beta.astype(
