@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.codecs import FactorizedPrior, ScaleHyperprior
+from ..models.codecs import FactorizedPrior, JointAutoregressive, ScaleHyperprior
 from . import rans
+from .autoregressive import ARWeights, ar_decode, ar_encode
 from .gaussian import default_scale_table
 from .tables import build_eb_tables, build_gc_tables, gc_build_indexes
 
@@ -32,15 +33,21 @@ class RealCodec:
         self.module = module
         self.params = params
         self.eb_tables = build_eb_tables(params["entropy_bottleneck"])
-        self.is_hyper = isinstance(module, ScaleHyperprior)
-        self.is_factorized = isinstance(module, FactorizedPrior)
-        if not (self.is_hyper or self.is_factorized):
+        self.is_context = isinstance(module, JointAutoregressive)
+        self.is_hyper = isinstance(module, ScaleHyperprior) and not self.is_context
+        self.is_factorized = (
+            isinstance(module, FactorizedPrior)
+            and not self.is_hyper
+            and not self.is_context
+        )
+        if not (self.is_hyper or self.is_factorized or self.is_context):
             raise NotImplementedError(
-                "real-coder path supports factorized/hyper; autoregressive "
-                "context decoding is a later milestone"
+                f"real-coder path does not support {type(module).__name__}"
             )
-        if self.is_hyper:
+        if self.is_hyper or self.is_context:
             self.gc_tables = build_gc_tables(np.asarray(default_scale_table()))
+        if self.is_context:
+            self.ar_weights = ARWeights(params)
 
         self._g_a = jax.jit(
             lambda x: module.apply({"params": params}, x, method=module.g_a)
@@ -49,10 +56,18 @@ class RealCodec:
             lambda y: module.apply({"params": params}, y, method=module.g_s)
         )
         if self.is_hyper:
+            # scale hyperprior conditions on |y| (ref `anchors/model.py:92`)
             self._h_a = jax.jit(
                 lambda y: module.apply(
                     {"params": params}, jnp.abs(y), method=module.h_a
                 )
+            )
+            self._h_s = jax.jit(
+                lambda z: module.apply({"params": params}, z, method=module.h_s)
+            )
+        elif self.is_context:
+            self._h_a = jax.jit(
+                lambda y: module.apply({"params": params}, y, method=module.h_a)
             )
             self._h_s = jax.jit(
                 lambda z: module.apply({"params": params}, z, method=module.h_s)
@@ -96,6 +111,14 @@ class RealCodec:
 
         z = np.asarray(self._h_a(jnp.asarray(y)))
         z_string, z_hat = self._eb_encode(z)
+
+        if self.is_context:
+            hyper_params = np.asarray(self._h_s(jnp.asarray(z_hat)))
+            y_string = ar_encode(
+                y[0], hyper_params[0], self.ar_weights, self.gc_tables
+            )
+            return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
+
         scales = np.asarray(self._h_s(jnp.asarray(z_hat)))
         t = self.gc_tables
         indexes = gc_build_indexes(scales, t["scale_table"]).ravel()
@@ -119,6 +142,15 @@ class RealCodec:
         h, w = shape
         cz = self.eb_tables["medians"].shape[0]
         z_hat = self._eb_decode(z_string, (1, h, w, cz))
+
+        if self.is_context:
+            hyper_params = np.asarray(self._h_s(jnp.asarray(z_hat)))
+            y_hat = ar_decode(
+                y_string, hyper_params[0], self.ar_weights, self.gc_tables
+            )[None]
+            x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
+            return np.clip(x_hat, 0.0, 1.0)
+
         scales = np.asarray(self._h_s(jnp.asarray(z_hat)))
         t = self.gc_tables
         indexes = gc_build_indexes(scales, t["scale_table"]).ravel()

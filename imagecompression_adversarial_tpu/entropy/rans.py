@@ -58,6 +58,21 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8),  # out
         ctypes.c_int,                    # out_capacity
     ]
+    lib.rans_dec_create.restype = ctypes.c_void_p
+    lib.rans_dec_create.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.rans_dec_decode.restype = ctypes.c_int
+    lib.rans_dec_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.rans_dec_free.restype = None
+    lib.rans_dec_free.argtypes = [ctypes.c_void_p]
     lib.rans_decode_with_indexes.restype = ctypes.c_int
     lib.rans_decode_with_indexes.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),  # data
@@ -151,3 +166,47 @@ def decode_with_indexes(
     if rc != 0:
         raise RuntimeError("rans decode failed")
     return out
+
+
+class StreamingDecoder:
+    """Incremental decoder for autoregressive models: the CDF row of symbol
+    k is only known after symbols < k are decoded, so decoding proceeds in
+    caller-sized chunks (typically one latent pixel's channels at a time)."""
+
+    def __init__(self, data: bytes, cdfs: np.ndarray, cdf_sizes, offsets):
+        self._lib = _load()
+        self.cdfs = np.ascontiguousarray(cdfs, np.uint32)
+        self.cdf_sizes = np.ascontiguousarray(cdf_sizes, np.int32)
+        self.offsets = np.ascontiguousarray(offsets, np.int32)
+        buf = np.ascontiguousarray(np.frombuffer(data, np.uint8))
+        self._handle = self._lib.rans_dec_create(
+            _as_ptr(buf, ctypes.c_uint8), buf.size
+        )
+
+    def decode(self, indexes) -> np.ndarray:
+        indexes = np.ascontiguousarray(indexes, np.int32)
+        out = np.empty(indexes.size, np.int32)
+        rc = self._lib.rans_dec_decode(
+            self._handle,
+            _as_ptr(indexes, ctypes.c_int32),
+            indexes.size,
+            _as_ptr(self.cdfs, ctypes.c_uint32),
+            self.cdfs.shape[1],
+            _as_ptr(self.cdf_sizes, ctypes.c_int32),
+            _as_ptr(self.offsets, ctypes.c_int32),
+            _as_ptr(out, ctypes.c_int32),
+        )
+        if rc != 0:
+            raise RuntimeError("rans streaming decode failed")
+        return out
+
+    def close(self):
+        if self._handle:
+            self._lib.rans_dec_free(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

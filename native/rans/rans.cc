@@ -230,4 +230,59 @@ int rans_decode_with_indexes(
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming decoder: the autoregressive context models interleave symbol
+// decoding with context computation (the row index for symbol k is only
+// known after symbols < k are decoded), so the one-shot API above cannot be
+// used.  A heap-allocated decoder persists across calls; each call decodes
+// the next n symbols with caller-supplied per-symbol rows.
+
+struct RansStreamDec {
+  RansDecState st;
+  std::vector<uint8_t> data;  // own the buffer; python side may free theirs
+};
+
+void* rans_dec_create(const uint8_t* data, int data_len) {
+  auto* h = new RansStreamDec();
+  h->data.assign(data, data + data_len);
+  h->st.init(h->data.data(), data_len);
+  return h;
+}
+
+int rans_dec_decode(
+    void* handle, const int32_t* indexes, int n,
+    const uint32_t* cdfs, int cdf_stride, const int32_t* cdf_sizes,
+    const int32_t* offsets, int32_t* symbols_out) {
+  auto* h = static_cast<RansStreamDec*>(handle);
+  for (int i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const uint32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+    const int32_t size = cdf_sizes[idx];
+    const int32_t max_sym = size - 1;
+
+    const uint32_t cum = h->st.peek();
+    int32_t sym = 0;
+    while (sym < size && cdf[sym + 1] <= cum) ++sym;
+    h->st.advance(cdf[sym], cdf[sym + 1] - cdf[sym]);
+
+    int32_t value = sym;
+    if (sym == max_sym) {
+      uint32_t raw = 0;
+      while (true) {
+        uint32_t chunk = h->st.get_bits(kBypassPrecision);
+        raw += chunk;
+        if (chunk != kMaxBypass) break;
+      }
+      const int32_t overflow = static_cast<int32_t>(raw);
+      value = (overflow & 1) ? -((overflow + 1) / 2) : max_sym + overflow / 2;
+    }
+    symbols_out[i] = value + offsets[idx];
+  }
+  return 0;
+}
+
+void rans_dec_free(void* handle) {
+  delete static_cast<RansStreamDec*>(handle);
+}
+
 }  // extern "C"
