@@ -21,7 +21,9 @@ from .codecs import (
     ScaleHyperprior,
 )
 
-ARCHITECTURES = ("factorized", "hyper", "context", "cheng2020", "debug")
+ARCHITECTURES = (
+    "factorized", "hyper", "context", "cheng2020", "debug", "invcompress"
+)
 
 # Quality -> (N, M) tables (CompressAI zoo configuration).
 _FACTORIZED_CFG = {q: (128, 192) if q <= 5 else (192, 320) for q in range(1, 9)}
@@ -47,6 +49,8 @@ def model_dims(model: str, quality: int) -> Tuple[int, int]:
             return _CHENG_CFG[quality]
         if model == "debug":
             return (3, 192)
+        if model == "invcompress":
+            return (192, 768)
     except KeyError:
         raise ValueError(f"quality {quality} out of range for model {model!r}")
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
@@ -65,6 +69,10 @@ def init_model(model: str, quality: int) -> CodecModel:
         return Cheng2020Anchor(N=n, M=m)
     if model == "debug":
         return DebugCodec(N=n, M=m)
+    if model == "invcompress":
+        from .invcompress import InvCompress
+
+        return InvCompress(N=n, M=m)
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
 
 
