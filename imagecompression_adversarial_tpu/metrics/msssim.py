@@ -103,8 +103,17 @@ def ms_ssim(
     so the geometric mean stays real-valued under adversarial inputs.
     """
     window = _gaussian_kernel(win_size, win_sigma)
-    weights = jnp.asarray(weights, x.dtype)
-    levels = weights.shape[0]
+    # adapt pyramid depth to the image: each level halves H/W and the window
+    # must still fit; renormalize the weights over the usable levels
+    import numpy as _np
+
+    min_side = min(x.shape[1], x.shape[2])
+    usable = 1
+    while usable < len(weights) and (min_side >> usable) >= win_size:
+        usable += 1
+    w_np = _np.asarray(weights[:usable], _np.float32)
+    weights = jnp.asarray(w_np / w_np.sum(), x.dtype)
+    levels = usable
 
     mcs = []
     for i in range(levels):

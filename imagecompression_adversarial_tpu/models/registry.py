@@ -22,7 +22,8 @@ from .codecs import (
 )
 
 ARCHITECTURES = (
-    "factorized", "hyper", "context", "cheng2020", "debug", "invcompress"
+    "factorized", "hyper", "context", "cheng2020", "debug", "invcompress",
+    "hific",
 )
 
 # Quality -> (N, M) tables (CompressAI zoo configuration).
@@ -51,6 +52,8 @@ def model_dims(model: str, quality: int) -> Tuple[int, int]:
             return (3, 192)
         if model == "invcompress":
             return (192, 768)
+        if model == "hific":
+            return (220, 220)
     except KeyError:
         raise ValueError(f"quality {quality} out of range for model {model!r}")
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
@@ -73,6 +76,10 @@ def init_model(model: str, quality: int) -> CodecModel:
         from .invcompress import InvCompress
 
         return InvCompress(N=n, M=m)
+    if model == "hific":
+        from .hific import HiFiC
+
+        return HiFiC(N=n, M=m)
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
 
 
