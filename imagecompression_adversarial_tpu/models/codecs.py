@@ -36,6 +36,7 @@ from ..entropy.factorized import EntropyBottleneck
 from ..entropy.gaussian import gaussian_conditional
 from ..ops.quant import quantize
 from .layers import (
+    AttentionBlock,
     Conv,
     Deconv,
     GDN,
@@ -373,6 +374,46 @@ class Cheng2020Anchor(JointAutoregressive):
         h = nn.leaky_relu(self.h_s_4(h))
         h = nn.leaky_relu(self.h_s_6(h))
         return self.h_s_8(h)
+
+
+class Cheng2020Attention(Cheng2020Anchor):
+    """cheng2020-attn: the anchor transforms with attention blocks after the
+    second and final analysis stages and mirrored in synthesis (the
+    "attention" codec of BASELINE.json's config list)."""
+
+    N: int
+    M: int
+
+    def setup(self):
+        super().setup()
+        n = self.N
+        self.g_a_attn_1 = AttentionBlock(n)
+        self.g_a_attn_2 = AttentionBlock(n)
+        self.g_s_attn_0 = AttentionBlock(n)
+        self.g_s_attn_1 = AttentionBlock(n)
+
+    def g_a(self, x):
+        x = self.g_a_0(x)
+        x = self.g_a_1(x)
+        x = self.g_a_2(x)
+        x = self.g_a_attn_1(x)
+        x = self.g_a_3(x)
+        x = self.g_a_4(x)
+        x = self.g_a_5(x)
+        x = self.g_a_6(x)
+        return self.g_a_attn_2(x)
+
+    def g_s(self, y):
+        y = self.g_s_attn_0(y)
+        y = self.g_s_0(y)
+        y = self.g_s_1(y)
+        y = self.g_s_2(y)
+        y = self.g_s_3(y)
+        y = self.g_s_attn_1(y)
+        y = self.g_s_4(y)
+        y = self.g_s_5(y)
+        y = self.g_s_6(y)
+        return self.g_s_7(y)
 
 
 class DebugCodec(CodecModel):

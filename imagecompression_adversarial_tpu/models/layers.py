@@ -285,6 +285,40 @@ class ResidualBlockWithStride(nn.Module):
         return y + identity
 
 
+class ResidualUnit(nn.Module):
+    """Half-width bottleneck residual unit (cheng2020 attention branch)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        half = self.features // 2
+        y = Conv(half, kernel_size=1, stride=1, name="conv1")(x)
+        y = nn.relu(y)
+        y = Conv(half, kernel_size=3, stride=1, name="conv2")(y)
+        y = nn.relu(y)
+        y = Conv(self.features, kernel_size=1, stride=1, name="conv3")(y)
+        return nn.relu(x + y)
+
+
+class AttentionBlock(nn.Module):
+    """cheng2020 attention block: trunk of 3 residual units gated by a
+    sigmoid mask branch (3 units + 1x1 conv)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        trunk = x
+        for i in range(3):
+            trunk = ResidualUnit(self.features, name=f"trunk_{i}")(trunk)
+        mask = x
+        for i in range(3):
+            mask = ResidualUnit(self.features, name=f"mask_{i}")(mask)
+        mask = Conv(self.features, kernel_size=1, stride=1, name="mask_conv")(mask)
+        return x + trunk * jax.nn.sigmoid(mask)
+
+
 class ResidualBlockUpsample(nn.Module):
     """subpel -> lrelu -> conv3x3 -> IGDN, subpel skip (cheng2020)."""
 

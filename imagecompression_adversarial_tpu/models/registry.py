@@ -22,8 +22,8 @@ from .codecs import (
 )
 
 ARCHITECTURES = (
-    "factorized", "hyper", "context", "cheng2020", "debug", "invcompress",
-    "hific",
+    "factorized", "hyper", "context", "cheng2020", "cheng2020-attn", "debug",
+    "invcompress", "hific", "tic",
 )
 
 # Quality -> (N, M) tables (CompressAI zoo configuration).
@@ -35,7 +35,7 @@ _CHENG_CFG = {q: (128, 128) if q <= 3 else (192, 192) for q in range(1, 7)}
 
 def quality_range(model: str) -> Tuple[int, int]:
     """Valid quality range per family (ref sweep caps, `attack_rd.py:712-715`)."""
-    return (1, 6) if model == "cheng2020" else (1, 8)
+    return (1, 6) if model.startswith("cheng2020") else (1, 8)
 
 
 def model_dims(model: str, quality: int) -> Tuple[int, int]:
@@ -46,7 +46,7 @@ def model_dims(model: str, quality: int) -> Tuple[int, int]:
             return _HYPER_CFG[quality]
         if model == "context":
             return _CONTEXT_CFG[quality]
-        if model == "cheng2020":
+        if model in ("cheng2020", "cheng2020-attn"):
             return _CHENG_CFG[quality]
         if model == "debug":
             return (3, 192)
@@ -54,6 +54,8 @@ def model_dims(model: str, quality: int) -> Tuple[int, int]:
             return (192, 768)
         if model == "hific":
             return (220, 220)
+        if model == "tic":
+            return (128, 192)
     except KeyError:
         raise ValueError(f"quality {quality} out of range for model {model!r}")
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
@@ -70,6 +72,10 @@ def init_model(model: str, quality: int) -> CodecModel:
         return JointAutoregressive(N=n, M=m)
     if model == "cheng2020":
         return Cheng2020Anchor(N=n, M=m)
+    if model == "cheng2020-attn":
+        from .codecs import Cheng2020Attention
+
+        return Cheng2020Attention(N=n, M=m)
     if model == "debug":
         return DebugCodec(N=n, M=m)
     if model == "invcompress":
@@ -80,6 +86,10 @@ def init_model(model: str, quality: int) -> CodecModel:
         from .hific import HiFiC
 
         return HiFiC(N=n, M=m)
+    if model == "tic":
+        from .tic import TIC
+
+        return TIC(N=n, M=m)
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
 
 
