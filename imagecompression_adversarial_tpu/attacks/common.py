@@ -35,6 +35,10 @@ class RDAttackConfig:
     # adaptive attack: optimize THROUGH the defense (ref
     # `self_ensemble.py:254-274` with --adv)
     defend_in_loop: Optional[str] = None  # None | 'ensemble' | 'resize' | 'bitdepth'
+    # reflect-pad the clean forward by this many pixels, cropping the
+    # reference output back (ref `-p` flag, `attack_rd.py:390-417`)
+    pad: Optional[int] = None
+    padding_mode: str = "reflect"
 
 
 def multistep_lr_schedule(

@@ -98,11 +98,23 @@ def make_attack_fn(
             {"params": params}, im, quant_mode=quant_mode
         )
 
-        # clean reference output + rate (ref `attack_rd.py:401-419`)
-        result_s = apply_fn(x, quant_mode="dequantize")
-        output_s = (
-            jnp.clip(result_s["x_hat"], 0.0, 1.0) if cfg.clamp else result_s["x_hat"]
-        )
+        # clean reference output + rate (ref `attack_rd.py:401-419`); with
+        # `-p` the clean forward sees a reflect-padded input and the
+        # reference output is cropped back
+        if cfg.pad:
+            p = cfg.pad
+            x_in = jnp.pad(
+                x, ((0, 0), (p, p), (p, p), (0, 0)), mode=cfg.padding_mode
+            )
+            result_s = apply_fn(x_in, quant_mode="dequantize")
+            output_s = jnp.clip(result_s["x_hat"][:, p:-p, p:-p, :], 0.0, 1.0)
+        else:
+            result_s = apply_fn(x, quant_mode="dequantize")
+            output_s = (
+                jnp.clip(result_s["x_hat"], 0.0, 1.0)
+                if cfg.clamp
+                else result_s["x_hat"]
+            )
         num_pixels = x.shape[1] * x.shape[2]
         bpp_ori = bpp_from_likelihoods(result_s["likelihoods"], num_pixels)
 

@@ -38,6 +38,8 @@ def run(cfg) -> dict:
         clamp=cfg.clamp,
         random_restarts=cfg.random,
         debug_model=(cfg.model == "debug"),
+        pad=cfg.pad,
+        padding_mode=cfg.padding_mode,
     )
     attack = make_attack_fn(module, att_cfg)
 
