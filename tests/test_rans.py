@@ -121,13 +121,11 @@ class TestRealCodec:
             x_hat, np.clip(np.asarray(ref["x_hat"]), 0, 1), atol=1e-5
         )
 
-    def test_context_models_gated(self):
-        import jax
-
+    def test_unsupported_module_rejected(self):
         from imagecompression_adversarial_tpu.entropy.codec import RealCodec
-        from imagecompression_adversarial_tpu.models import init_model, init_params
 
-        module = init_model("context", 1)
-        params = init_params(module, jax.random.PRNGKey(0))
-        with pytest.raises(NotImplementedError):
-            RealCodec(module, params)
+        class NotACodec:
+            pass
+
+        with pytest.raises((NotImplementedError, KeyError, TypeError)):
+            RealCodec(NotACodec(), {"entropy_bottleneck": {}})
