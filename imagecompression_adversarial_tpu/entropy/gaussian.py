@@ -72,6 +72,49 @@ def gaussian_likelihood(
     return upper - lower
 
 
+def gaussian_mixture_likelihood(
+    values: jax.Array,
+    scales: jax.Array,
+    means: jax.Array,
+    weight_logits: jax.Array,
+    scale_bound: float = SCALE_BOUND,
+) -> jax.Array:
+    """Unit-bin likelihood under a K-component Gaussian mixture.
+
+    ``scales``/``means``/``weight_logits`` have a trailing component axis
+    (..., K) relative to ``values`` (...); weights are softmax-normalized.
+    This is the GMM entropy model of Cheng2020 ("attention + GMM" in the
+    driver's config list) — the single-Gaussian path stays the anchor's.
+    """
+    v = values[..., None]
+    scales = lower_bound(scales, scale_bound)
+    centered = jnp.abs(v - means)
+    upper = _standardized_cumulative((0.5 - centered) / scales)
+    lower = _standardized_cumulative((-0.5 - centered) / scales)
+    comp = upper - lower  # (..., K)
+    w = jax.nn.softmax(weight_logits, axis=-1)
+    return jnp.sum(w * comp, axis=-1)
+
+
+def gaussian_mixture_conditional(
+    y: jax.Array,
+    scales: jax.Array,
+    means: jax.Array,
+    weight_logits: jax.Array,
+    quant_mode: str = "noise",
+    key: Optional[jax.Array] = None,
+    scale_bound: float = SCALE_BOUND,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize ``y`` (means-free rounding, as the autoregressive families
+    do) and evaluate the mixture likelihood on the quantized values."""
+    y_hat = quantize(y, quant_mode, means=None, key=key)
+    likelihood = gaussian_mixture_likelihood(
+        y_hat, scales, means, weight_logits, scale_bound=scale_bound
+    )
+    likelihood = lower_bound(likelihood, _LIKELIHOOD_BOUND)
+    return y_hat, likelihood
+
+
 def gaussian_conditional(
     y: jax.Array,
     scales: jax.Array,

@@ -309,6 +309,7 @@ class Cheng2020Anchor(JointAutoregressive):
 
     N: int
     M: int  # always == N
+    ep_final_width: Optional[int] = None  # GMM variant widens the head
 
     def setup(self):
         n = self.N
@@ -344,7 +345,9 @@ class Cheng2020Anchor(JointAutoregressive):
         self.context_prediction = MaskedConv(2 * n)
         self.entropy_parameters_0 = Conv(n * 10 // 3, kernel_size=1, stride=1)
         self.entropy_parameters_2 = Conv(n * 8 // 3, kernel_size=1, stride=1)
-        self.entropy_parameters_4 = Conv(n * 6 // 3, kernel_size=1, stride=1)
+        self.entropy_parameters_4 = Conv(
+            self.ep_final_width or (n * 6 // 3), kernel_size=1, stride=1
+        )
 
         self.entropy_bottleneck = EntropyBottleneck(n)
 
@@ -414,6 +417,53 @@ class Cheng2020Attention(Cheng2020Anchor):
         y = self.g_s_5(y)
         y = self.g_s_6(y)
         return self.g_s_7(y)
+
+
+class Cheng2020AttnGMM(Cheng2020Attention):
+    """cheng2020 attention transforms + K-component Gaussian-mixture
+    conditional (the paper's full model; K=3).  The entropy-parameters head
+    emits 3*K*M channels: per-component scales, means, mixture logits."""
+
+    N: int
+    M: int
+    K: int = 3
+    # construct with ep_final_width = 3*K*N (registry does)
+
+    def __call__(self, x, quant_mode: str = "noise") -> Result:
+        from ..entropy.gaussian import gaussian_mixture_conditional
+
+        y = self.g_a(x)
+        z = self.h_a(y)
+        rng = _maybe_rng(self, quant_mode)
+        z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)
+        params = self.h_s(z_hat)
+
+        rng_y = _maybe_rng(self, quant_mode)
+        y_hat = quantize(
+            y,
+            "dequantize" if quant_mode in ("dequantize", "ste") else quant_mode,
+            means=None,
+            key=rng_y,
+        )
+        ctx = self.context_prediction(y_hat)
+        gp = self.entropy_parameters(jnp.concatenate([params, ctx], axis=-1))
+        b, h, w, _ = gp.shape
+        gp = gp.reshape(b, h, w, 3, self.K, self.M).transpose(0, 1, 2, 5, 4, 3)
+        scales = gp[..., 0]  # (B, H, W, M, K)
+        means = gp[..., 1]
+        logits = gp[..., 2]
+        rng_lik = _maybe_rng(self, quant_mode)
+        _, y_lik = gaussian_mixture_conditional(
+            y, scales, means, logits, quant_mode=quant_mode, key=rng_lik
+        )
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "y": y,
+            "y_hat": y_hat,
+            "z_hat": z_hat,
+            "likelihoods": {"y": y_lik, "z": z_lik},
+        }
 
 
 class DebugCodec(CodecModel):

@@ -23,7 +23,7 @@ from .codecs import (
 
 ARCHITECTURES = (
     "factorized", "hyper", "context", "cheng2020", "cheng2020-attn", "debug",
-    "invcompress", "hific", "tic",
+    "cheng2020-gmm", "invcompress", "hific", "tic",
 )
 
 # Quality -> (N, M) tables (CompressAI zoo configuration).
@@ -46,7 +46,7 @@ def model_dims(model: str, quality: int) -> Tuple[int, int]:
             return _HYPER_CFG[quality]
         if model == "context":
             return _CONTEXT_CFG[quality]
-        if model in ("cheng2020", "cheng2020-attn"):
+        if model in ("cheng2020", "cheng2020-attn", "cheng2020-gmm"):
             return _CHENG_CFG[quality]
         if model == "debug":
             return (3, 192)
@@ -76,6 +76,10 @@ def init_model(model: str, quality: int) -> CodecModel:
         from .codecs import Cheng2020Attention
 
         return Cheng2020Attention(N=n, M=m)
+    if model == "cheng2020-gmm":
+        from .codecs import Cheng2020AttnGMM
+
+        return Cheng2020AttnGMM(N=n, M=m, ep_final_width=9 * n)
     if model == "debug":
         return DebugCodec(N=n, M=m)
     if model == "invcompress":
