@@ -23,7 +23,7 @@ from .codecs import (
 
 ARCHITECTURES = (
     "factorized", "hyper", "context", "cheng2020", "cheng2020-attn", "debug",
-    "cheng2020-gmm", "invcompress", "hific", "tic",
+    "cheng2020-gmm", "invcompress", "hific", "tic", "nlaic",
 )
 
 # Quality -> (N, M) tables (CompressAI zoo configuration).
@@ -56,6 +56,8 @@ def model_dims(model: str, quality: int) -> Tuple[int, int]:
             return (220, 220)
         if model == "tic":
             return (128, 192)
+        if model == "nlaic":
+            return _CONTEXT_CFG[quality]
     except KeyError:
         raise ValueError(f"quality {quality} out of range for model {model!r}")
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
@@ -94,6 +96,10 @@ def init_model(model: str, quality: int) -> CodecModel:
         from .tic import TIC
 
         return TIC(N=n, M=m)
+    if model == "nlaic":
+        from .nlaic import NLAIC
+
+        return NLAIC(N=n, M=m)
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
 
 
