@@ -18,6 +18,25 @@ from ._corpus import run_corpus
 
 def run(cfg) -> dict:
     apply_precision(cfg)
+
+    if cfg.degrade == "blurgen":
+        # generate blur images calibrated to the -noise MSE budget
+        # (ref `generate_blurimages`, random_noise.py:50-66)
+        import os
+
+        from ..analysis import calibrated_blur
+        from ..io.image import write_image
+
+        out_dir = "./attack/blur/"
+        os.makedirs(out_dir, exist_ok=True)
+        for f in list_images(cfg.source):
+            im, h, w = read_image(f)
+            blurred, sigma = calibrated_blur(im, target_mse=cfg.noise)
+            name = os.path.basename(f)
+            write_image(blurred, out_dir + name, h, w)
+            print(f"{name}: sigma {sigma:.3f} -> {out_dir + name}")
+        return {}
+
     module, params = load_model(cfg)
 
     if cfg.degrade == "deblur":
