@@ -183,6 +183,49 @@ class GDN(nn.Module):
         return x * jax.lax.rsqrt(norm)
 
 
+class LinearGDN(nn.Module):
+    """Computationally-efficient GDN variant (Johnston et al.): divisive
+    normalization by a LINEAR pool of |x| instead of a sqrt pool of x^2
+    (ref `utils/ops.py:99-118`).  Same reparametrized parameter space as
+    GDN, so profiles/converters treat them identically."""
+
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    reparam_offset: float = 2 ** -18
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        pedestal = self.reparam_offset ** 2
+        beta_bound = (self.beta_min + pedestal) ** 0.5
+        gamma_bound = self.reparam_offset
+
+        beta_r = self.param(
+            "beta",
+            lambda key, shape: jnp.sqrt(jnp.ones(shape, jnp.float32) + pedestal),
+            (c,),
+        )
+        gamma_r = self.param(
+            "gamma",
+            lambda key, shape: jnp.sqrt(
+                self.gamma_init * jnp.eye(c, dtype=jnp.float32) + pedestal
+            ),
+            (c, c),
+        )
+        # reference linear_GDN keeps the clamped reparametrized values
+        # directly (no square/pedestal removal), ref `utils/ops.py:104-109`
+        beta = lower_bound(beta_r, beta_bound)
+        gamma = lower_bound(gamma_r, gamma_bound)
+
+        norm = jnp.einsum(
+            "...i,oi->...o", jnp.abs(x), gamma.astype(x.dtype)
+        ) + beta.astype(x.dtype)
+        if self.inverse:
+            return x * norm
+        return x / norm
+
+
 class MaskedConv(nn.Module):
     """Type-A masked 5x5 conv (autoregressive context prediction).
 

@@ -159,6 +159,15 @@ def train(cfg: Config, data_root: Optional[str] = None,
                        extra={"epoch": epoch, "loss": loss, "lr": sched.lr},
                        is_best=is_best)
 
+    # final checkpoint so short runs (max_steps < eval cadence) still persist
+    if global_step > 0 and ckpts.latest_step() != global_step:
+        loss = test_epoch(state.params)
+        is_best = loss < best_loss
+        best_loss = min(loss, best_loss)
+        ckpts.save(global_step, state,
+                   extra={"epoch": epochs_num, "loss": loss, "lr": sched.lr},
+                   is_best=is_best)
+
     final = {
         "steps": global_step,
         "loss": float(logs.get("loss", np.nan)) if logs else None,

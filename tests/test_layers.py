@@ -154,3 +154,32 @@ def test_pixel_shuffle_matches_torch():
     ref = ref.permute(0, 2, 3, 1).numpy()
     out = pixel_shuffle(jnp.array(x), 2)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_linear_gdn_matches_reference_math():
+    """linear_GDN forward vs direct torch evaluation (ref utils/ops.py:104-118):
+    clamp reparam values, linear |x| pool, divide (or multiply for inverse)."""
+    from imagecompression_adversarial_tpu.models.layers import LinearGDN
+
+    c = 6
+    x = _rand((1, 3, 3, c), seed=11)
+    beta_r = np.abs(_rand((c,), seed=12)) + 0.5
+    gamma_r = np.abs(_rand((c, c), seed=13)) * 0.1 + 0.01
+
+    pedestal = (2 ** -18) ** 2
+    beta_bound = (1e-6 + pedestal) ** 0.5
+    gamma_bound = 2 ** -18
+    bt = np.clip(beta_r, beta_bound, None)
+    gm = np.clip(gamma_r, gamma_bound, None)
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    norm = F.conv2d(torch.abs(xt), torch.from_numpy(gm).reshape(c, c, 1, 1),
+                    torch.from_numpy(bt))
+    ref_fwd = (xt / norm).permute(0, 2, 3, 1).numpy()
+    ref_inv = (xt * norm).permute(0, 2, 3, 1).numpy()
+
+    params = {"beta": jnp.array(beta_r), "gamma": jnp.array(gamma_r)}
+    out = LinearGDN().apply({"params": params}, jnp.array(x))
+    np.testing.assert_allclose(np.asarray(out), ref_fwd, rtol=1e-4, atol=1e-5)
+    out_inv = LinearGDN(inverse=True).apply({"params": params}, jnp.array(x))
+    np.testing.assert_allclose(np.asarray(out_inv), ref_inv, rtol=1e-4, atol=1e-5)
