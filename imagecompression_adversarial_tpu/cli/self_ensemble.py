@@ -43,7 +43,17 @@ def run(cfg) -> dict:
 
 def main(argv=None):
     cfg = parse_config(argv)
-    run(cfg)
+    if cfg.quality < 1:  # bitrate sweep (ref `attack_bitrates`,
+        # self_ensemble.py:426-436)
+        from ..models import quality_range
+
+        lo, hi = quality_range(cfg.model)
+        for q in range(lo, hi + 1):
+            cfg.quality = q
+            print(f"== quality {q} ==")
+            run(cfg)
+    else:
+        run(cfg)
 
 
 if __name__ == "__main__":

@@ -15,10 +15,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .bounds import ste_round
+from .bounds import ste_round, universal_quant
 
 #: Valid quantization modes.
-QUANT_MODES = ("noise", "dequantize", "ste", "none")
+QUANT_MODES = ("noise", "dequantize", "ste", "none", "universal")
 
 
 def quantize(
@@ -36,6 +36,8 @@ def quantize(
         ``'dequantize'`` — ``round(y - means) + means`` (inference).
         ``'ste'``        — straight-through round (identity gradient).
         ``'none'``       — pass-through (the attack's quantization-free path).
+        ``'universal'``  — universal quantization: shared-dither round with
+                            identity gradient (ref `utils/ops.py:17-25`).
       means: optional per-element means (conditional-Gaussian offset).
       key: PRNG key, required for ``'noise'``.
     """
@@ -49,6 +51,12 @@ def quantize(
         half = jnp.asarray(0.5, y.dtype)
         noise = jax.random.uniform(key, y.shape, y.dtype, minval=-half, maxval=half)
         return y + noise
+    if mode == "universal":
+        if key is None:
+            raise ValueError("quantize(mode='universal') requires a PRNG key")
+        if means is not None:
+            return universal_quant(y - means, key) + means
+        return universal_quant(y, key)
     # round-based modes
     if means is not None:
         centered = y - means
