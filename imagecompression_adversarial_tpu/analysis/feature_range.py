@@ -13,7 +13,7 @@ stats for downstream analysis.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, Optional
+from typing import Callable, Iterable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Re-implements `/root/reference/random_noise.py`:
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,6 @@ fwd+bwd passes, all inside one compiled program.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

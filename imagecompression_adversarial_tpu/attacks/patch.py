@@ -12,7 +12,7 @@ per-patch MSE maps are 64x64 box sums of the squared-difference image
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

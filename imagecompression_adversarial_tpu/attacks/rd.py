@@ -20,7 +20,6 @@ axes instead of outer loops (ref loops at `attack_rd.py:654-664`).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax

@@ -15,7 +15,6 @@ import dataclasses
 import os
 import time
 
-import jax
 import numpy as np
 
 from ..attacks.targeted import TargetedAttackConfig, make_targeted_attack_fn

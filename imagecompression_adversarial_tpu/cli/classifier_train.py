@@ -17,7 +17,7 @@ import numpy as np
 import flax.serialization
 
 from ..config import apply_precision, parse_config
-from ..models.classifier import MLPClassifier, train_classifier
+from ..models.classifier import train_classifier
 
 
 def _image_folder_labeled(root: str, batch_size: int, hw: int = 28, seed=0):

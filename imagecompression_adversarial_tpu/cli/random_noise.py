@@ -45,7 +45,6 @@ def run(cfg) -> dict:
         if len(sharp_files) != len(blur_files):
             raise SystemExit("deblur mode needs matching -s (blur) and -t (sharp) globs")
         fn = make_deblur_eval_fn(module)
-        import numpy as np
 
         sums = {"dpsnr": 0.0, "bpp": 0.0, "psnr_out": 0.0}
         for bf, sf in zip(blur_files, sharp_files):

@@ -16,7 +16,7 @@ Profiles are stored as ``.npz`` with arrays ``channel_max``/``channel_min``
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

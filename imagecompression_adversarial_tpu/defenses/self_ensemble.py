@@ -23,7 +23,6 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..metrics import bpp_from_likelihoods
 from ..ops.bounds import ste_round
 
 

@@ -16,7 +16,7 @@ convention: mean-centered rounding, y_hat = symbol + mean.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

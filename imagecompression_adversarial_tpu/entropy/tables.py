@@ -17,8 +17,7 @@ has to resize around on checkpoint load, `/root/reference/anchors/utils.py:
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 from scipy import stats

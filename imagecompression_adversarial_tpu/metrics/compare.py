@@ -11,7 +11,7 @@ tests).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -22,8 +22,6 @@ Conventions
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .codecs import JointAutoregressive
-from .layers import Conv, Deconv, ResidualUnit
+from .layers import Conv, ResidualUnit
 
 
 class NonLocalBlock(nn.Module):

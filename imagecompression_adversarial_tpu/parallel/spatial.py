@@ -10,7 +10,7 @@ Overlap hides tile-boundary artifacts of the /16-downsampling codecs.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ the dp mesh axis when more than one device is visible.
 from __future__ import annotations
 
 import time
-from typing import Iterator, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
