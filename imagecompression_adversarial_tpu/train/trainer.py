@@ -35,7 +35,7 @@ from .step import ReduceLROnPlateau, create_train_state
 
 
 def train(cfg: Config, data_root: Optional[str] = None,
-          max_steps: Optional[int] = None) -> dict:
+          max_steps: Optional[int] = None, crop: int = 256) -> dict:
     """Run training per config; returns summary stats (for tests/CLI)."""
     module, params = load_model(cfg)
     lamb = cfg.lamb if cfg.lamb is not None else lambda_for(cfg.metric, cfg.quality)
@@ -76,7 +76,7 @@ def train(cfg: Config, data_root: Optional[str] = None,
         jitted_adv = jax.jit(adv_example)
 
     # held-out eval batch (deterministic)
-    eval_batches = make_batches(data_root, cfg.batch_size, crop=256, seed=999)
+    eval_batches = make_batches(data_root, cfg.batch_size, crop=crop, seed=999)
     eval_batch = jnp.asarray(next(eval_batches))
 
     eval_attack = None
@@ -107,8 +107,9 @@ def train(cfg: Config, data_root: Optional[str] = None,
     global_step = int(state.step)
     logs = {}
     stop = False
+    epoch = start_epoch
 
-    batches = prefetch(make_batches(data_root, cfg.batch_size, crop=256))
+    batches = prefetch(make_batches(data_root, cfg.batch_size, crop=crop))
     t0 = time.time()
     for epoch in range(start_epoch, epochs_num):
         for batch_np in batches:
@@ -159,13 +160,15 @@ def train(cfg: Config, data_root: Optional[str] = None,
                        extra={"epoch": epoch, "loss": loss, "lr": sched.lr},
                        is_best=is_best)
 
-    # final checkpoint so short runs (max_steps < eval cadence) still persist
+    # final checkpoint so short runs (max_steps < eval cadence) still persist;
+    # a mid-epoch stop records epoch-1 so resume re-enters the same epoch
     if global_step > 0 and ckpts.latest_step() != global_step:
         loss = test_epoch(state.params)
         is_best = loss < best_loss
         best_loss = min(loss, best_loss)
         ckpts.save(global_step, state,
-                   extra={"epoch": epochs_num, "loss": loss, "lr": sched.lr},
+                   extra={"epoch": (epoch - 1) if stop else epoch,
+                          "loss": loss, "lr": sched.lr},
                    is_best=is_best)
 
     final = {
