@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.codecs import FactorizedPrior, JointAutoregressive, ScaleHyperprior
 from . import rans
 from .autoregressive import ARWeights, ar_decode, ar_encode
 from .gaussian import default_scale_table
@@ -29,22 +28,25 @@ from .tables import build_eb_tables, build_gc_tables, gc_build_indexes
 class RealCodec:
     """Bit-exact encode/decode around a trained codec."""
 
+    SUPPORTED = ("factorized", "scale_hyper", "mean_scale", "context")
+
     def __init__(self, module, params):
         self.module = module
         self.params = params
-        self.eb_tables = build_eb_tables(params["entropy_bottleneck"])
-        self.is_context = isinstance(module, JointAutoregressive)
-        self.is_hyper = isinstance(module, ScaleHyperprior) and not self.is_context
-        self.is_factorized = (
-            isinstance(module, FactorizedPrior)
-            and not self.is_hyper
-            and not self.is_context
-        )
-        if not (self.is_hyper or self.is_factorized or self.is_context):
+        structure = getattr(module, "entropy_structure", "none")
+        if structure not in self.SUPPORTED:
             raise NotImplementedError(
-                f"real-coder path does not support {type(module).__name__}"
+                f"real-coder path does not support {type(module).__name__} "
+                f"(entropy_structure={structure!r})"
             )
-        if self.is_hyper or self.is_context:
+        self.structure = structure
+        self.is_factorized = structure == "factorized"
+        self.is_hyper = structure == "scale_hyper"
+        self.is_meanscale = structure == "mean_scale"
+        self.is_context = structure == "context"
+
+        self.eb_tables = build_eb_tables(params["entropy_bottleneck"])
+        if not self.is_factorized:
             self.gc_tables = build_gc_tables(np.asarray(default_scale_table()))
         if self.is_context:
             self.ar_weights = ARWeights(params)
@@ -55,20 +57,18 @@ class RealCodec:
         self._g_s = jax.jit(
             lambda y: module.apply({"params": params}, y, method=module.g_s)
         )
-        if self.is_hyper:
-            # scale hyperprior conditions on |y| (ref `anchors/model.py:92`)
-            self._h_a = jax.jit(
-                lambda y: module.apply(
-                    {"params": params}, jnp.abs(y), method=module.h_a
+        if not self.is_factorized:
+            if self.is_hyper:
+                # scale hyperprior conditions on |y| (ref `anchors/model.py:92`)
+                self._h_a = jax.jit(
+                    lambda y: module.apply(
+                        {"params": params}, jnp.abs(y), method=module.h_a
+                    )
                 )
-            )
-            self._h_s = jax.jit(
-                lambda z: module.apply({"params": params}, z, method=module.h_s)
-            )
-        elif self.is_context:
-            self._h_a = jax.jit(
-                lambda y: module.apply({"params": params}, y, method=module.h_a)
-            )
+            else:
+                self._h_a = jax.jit(
+                    lambda y: module.apply({"params": params}, y, method=module.h_a)
+                )
             self._h_s = jax.jit(
                 lambda z: module.apply({"params": params}, z, method=module.h_s)
             )
@@ -119,10 +119,15 @@ class RealCodec:
             )
             return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
 
-        scales = np.asarray(self._h_s(jnp.asarray(z_hat)))
+        gp = np.asarray(self._h_s(jnp.asarray(z_hat)))
         t = self.gc_tables
+        if self.is_meanscale:
+            scales, means = np.split(gp, 2, axis=-1)
+            symbols = np.round(y - means).astype(np.int32).ravel()
+        else:  # scale-only hyperprior (means-free rounding)
+            scales = gp
+            symbols = np.round(y).astype(np.int32).ravel()
         indexes = gc_build_indexes(scales, t["scale_table"]).ravel()
-        symbols = np.round(y).astype(np.int32).ravel()
         y_string = rans.encode_with_indexes(
             symbols, indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
         )
@@ -151,13 +156,19 @@ class RealCodec:
             x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
             return np.clip(x_hat, 0.0, 1.0)
 
-        scales = np.asarray(self._h_s(jnp.asarray(z_hat)))
+        gp = np.asarray(self._h_s(jnp.asarray(z_hat)))
         t = self.gc_tables
+        if self.is_meanscale:
+            scales, means = np.split(gp, 2, axis=-1)
+        else:
+            scales, means = gp, None
         indexes = gc_build_indexes(scales, t["scale_table"]).ravel()
         symbols = rans.decode_with_indexes(
             y_string, indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
         )
         y_hat = symbols.reshape(scales.shape).astype(np.float32)
+        if means is not None:
+            y_hat = y_hat + means
         x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
         return np.clip(x_hat, 0.0, 1.0)
 

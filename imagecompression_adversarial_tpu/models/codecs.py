@@ -57,7 +57,14 @@ def _maybe_rng(module: nn.Module, quant_mode: str) -> Optional[jax.Array]:
 
 
 class CodecModel(nn.Module):
-    """Common interface: g_a / g_s / h_a / h_s methods + __call__ forward."""
+    """Common interface: g_a / g_s / h_a / h_s methods + __call__ forward.
+
+    ``entropy_structure`` tells the real-coder path (entropy/codec.py) how
+    symbols are conditioned: 'factorized' | 'scale_hyper' | 'mean_scale' |
+    'context' | 'context_gmm' | 'none'.
+    """
+
+    entropy_structure = "none"
 
     def encode(self, x):  # alias used by analysis tools
         return self.g_a(x)
@@ -72,6 +79,7 @@ class FactorizedPrior(CodecModel):
 
     N: int
     M: int
+    entropy_structure = "factorized"
 
     def setup(self):
         self.g_a_0 = Conv(self.N)
@@ -127,6 +135,7 @@ class ScaleHyperprior(CodecModel):
 
     N: int
     M: int
+    entropy_structure = "scale_hyper"
 
     def setup(self):
         self.g_a_0 = Conv(self.N)
@@ -207,6 +216,7 @@ class JointAutoregressive(CodecModel):
 
     N: int
     M: int
+    entropy_structure = "context"
 
     def setup(self):
         self.g_a_0 = Conv(self.N)
@@ -427,6 +437,7 @@ class Cheng2020AttnGMM(Cheng2020Attention):
     N: int
     M: int
     K: int = 3
+    entropy_structure = "context_gmm"
     # construct with ep_final_width = 3*K*N (registry does)
 
     def __call__(self, x, quant_mode: str = "noise") -> Result:

@@ -134,6 +134,7 @@ class HiFiC(CodecModel):
 
     N: int = 220  # hyper width
     M: int = 220  # latent channels
+    entropy_structure = "mean_scale"
 
     def setup(self):
         self.encoder = HiFiCEncoder(bottleneck=self.M)

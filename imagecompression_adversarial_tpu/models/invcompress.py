@@ -172,6 +172,7 @@ class InvCompress(CodecModel):
 
     N: int = 192  # kept for registry symmetry; latent width is fixed at 768
     M: int = 768
+    entropy_structure = "context"
 
     def setup(self):
         nh = self.M

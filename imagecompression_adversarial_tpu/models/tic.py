@@ -116,6 +116,7 @@ class TIC(CodecModel):
 
     N: int = 128
     M: int = 192
+    entropy_structure = "mean_scale"
     window: int = 4
     heads: Tuple[int, ...] = (4, 8, 8, 8)
 

@@ -129,3 +129,26 @@ class TestRealCodec:
 
         with pytest.raises((NotImplementedError, KeyError, TypeError)):
             RealCodec(NotACodec(), {"entropy_bottleneck": {}})
+
+
+class TestMeanScaleRealCodec:
+    def test_tic_roundtrip(self):
+        import jax
+        import jax.numpy as jnp
+
+        from imagecompression_adversarial_tpu.entropy.codec import RealCodec
+        from imagecompression_adversarial_tpu.models import init_model, init_params
+
+        module = init_model("tic", 1)
+        params = init_params(module, jax.random.PRNGKey(0))
+        codec = RealCodec(module, params)
+        x = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)), np.float32
+        )
+        out = codec.compress(x)
+        x_hat = codec.decompress(out["strings"], out["shape"])
+        ref = module.apply({"params": params}, jnp.asarray(x),
+                           quant_mode="dequantize")
+        np.testing.assert_allclose(
+            x_hat, np.clip(np.asarray(ref["x_hat"]), 0, 1), atol=1e-4
+        )
