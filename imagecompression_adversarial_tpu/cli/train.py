@@ -20,6 +20,8 @@ def main(argv=None):
                         help="training image folder (default: -s dir or synthetic)")
     parser.add_argument("-max_steps", dest="max_steps", type=int, default=None,
                         help="stop after N steps (smoke runs)")
+    parser.add_argument("-augment", dest="augment", action="store_true",
+                        help="random dihedral augmentation (flips + rot90)")
     ns = parser.parse_args(argv)
     cfg = Config(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)})
     apply_precision(cfg)
@@ -30,7 +32,8 @@ def main(argv=None):
 
     from ..train.trainer import train
 
-    summary = train(cfg, data_root=data_root, max_steps=ns.max_steps)
+    summary = train(cfg, data_root=data_root, max_steps=ns.max_steps,
+                    augment=ns.augment)
     print("TRAIN DONE:", summary)
 
 

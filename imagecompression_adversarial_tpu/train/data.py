@@ -118,6 +118,29 @@ def make_batches(
     return synthetic_batches(batch_size, crop, seed)
 
 
+def augment_dihedral(batches: Iterator[np.ndarray], seed: int = 0) -> Iterator[np.ndarray]:
+    """Random dihedral augmentation (flips + rot90) per image.
+
+    The zoo codecs the reference attacks are trained with flip augmentation;
+    this is what makes the geometric self-ensemble defense effective
+    (RESULTS.md) — without it the codec is not dihedral-invariant.
+    """
+    rng = np.random.default_rng(seed)
+    for batch in batches:
+        out = np.empty_like(batch)
+        for i in range(batch.shape[0]):
+            img = batch[i]
+            k = rng.integers(0, 8)
+            if k & 1:
+                img = img[::-1, :, :]
+            if k & 2:
+                img = img[:, ::-1, :]
+            if k & 4:
+                img = np.rot90(img, 1, (0, 1))
+            out[i] = img
+        yield out
+
+
 def prefetch(it: Iterator, depth: int = 2) -> Iterator:
     """Decouple host decode from device compute with a small queue."""
     q: queue.Queue = queue.Queue(maxsize=depth)

@@ -29,13 +29,14 @@ from ..attacks.rd import make_adv_example_fn, make_attack_fn
 from ..config import Config
 from ..runtime import load_model
 from .checkpoint import CheckpointManager, ckpt_dir_for
-from .data import make_batches, prefetch
+from .data import augment_dihedral, make_batches, prefetch
 from .loss import lambda_for, rate_distortion_loss
 from .step import ReduceLROnPlateau, create_train_state
 
 
 def train(cfg: Config, data_root: Optional[str] = None,
-          max_steps: Optional[int] = None, crop: int = 256) -> dict:
+          max_steps: Optional[int] = None, crop: int = 256,
+          augment: bool = False) -> dict:
     """Run training per config; returns summary stats (for tests/CLI)."""
     module, params = load_model(cfg)
     lamb = cfg.lamb if cfg.lamb is not None else lambda_for(cfg.metric, cfg.quality)
@@ -109,7 +110,12 @@ def train(cfg: Config, data_root: Optional[str] = None,
     stop = False
     epoch = start_epoch
 
-    batches = prefetch(make_batches(data_root, cfg.batch_size, crop=crop))
+    train_stream = make_batches(data_root, cfg.batch_size, crop=crop)
+    if augment:
+        # dihedral augmentation (flips + rot90) — required for the geometric
+        # self-ensemble defense to be effective (RESULTS.md)
+        train_stream = augment_dihedral(train_stream)
+    batches = prefetch(train_stream)
     t0 = time.time()
     for epoch in range(start_epoch, epochs_num):
         for batch_np in batches:
