@@ -76,3 +76,32 @@ def test_golden_real_coder_agreement():
     np.testing.assert_allclose(
         x_hat, np.clip(np.asarray(ref["x_hat"]), 0, 1), atol=1e-5
     )
+
+
+AUG_CKPT = os.path.join(
+    os.path.dirname(__file__), "..", "ckpts", "demo",
+    "hyper-q4-mse-augmented.msgpack",
+)
+
+
+@pytest.mark.skipif(not os.path.exists(AUG_CKPT), reason="augmented ckpt absent")
+def test_golden_ensemble_defense_helps_augmented_model():
+    """On the dihedral-augmented checkpoint the self-ensemble defense must
+    not hurt (RESULTS.md: 6.95 -> 6.58 dB at full attack strength)."""
+    from imagecompression_adversarial_tpu.attacks import (
+        RDAttackConfig,
+        make_attack_fn,
+    )
+    from imagecompression_adversarial_tpu.defenses import make_defend_fn
+
+    cfg = Config(model="hyper", quality=4, metric="mse", checkpoint=AUG_CKPT)
+    module, params = load_model(cfg)
+    x = jnp.asarray(next(synthetic_batches(1, crop=256, seed=1234)))
+
+    plain = make_attack_fn(module, RDAttackConfig(steps=120))(params, x)
+    defended = make_attack_fn(
+        module, RDAttackConfig(steps=120),
+        defend_fn_builder=lambda f: make_defend_fn(f, "ensemble"),
+    )(params, x)
+    # allow a small tolerance: short-attack VI is noisier than the 1001-step run
+    assert float(defended["vi"]) <= float(plain["vi"]) + 0.3
