@@ -133,18 +133,26 @@ def bitdepth_reduction(
     return (x * scale + noise) / scale
 
 
+def draw_resize_scale(seed: int) -> float:
+    """Host-side draw of the randomized resize factor, uniform(0.5, 0.75)
+    as in the reference's randomized variant (`self_ensemble.py:74-76`).
+
+    The scale sets the resize SHAPES, which must be static under jit —
+    so the draw happens eagerly on the host and the result is passed to
+    :func:`random_resize` as a Python float (one compiled program per
+    distinct scale)."""
+    import numpy as np
+
+    return float(np.random.default_rng(seed).uniform(0.5, 0.75))
+
+
 def random_resize(
     x: jax.Array,
     scale: float = 243.0 / 256.0,
-    key: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, float]:
-    """Bicubic down/up-sample (ref `self_ensemble.py:70-83`).  When ``key``
-    is given, the scale is drawn uniform(0.5, 0.75) as in the randomized
-    variant — note the resize shapes are static per traced scale."""
-    if key is not None:
-        import numpy as np
-
-        scale = float(np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31))).uniform(0.5, 0.75))
+    """Bicubic down/up-sample (ref `self_ensemble.py:70-83`).  ``scale``
+    must be a static Python float (it determines array shapes); for the
+    randomized variant draw it host-side with :func:`draw_resize_scale`."""
     b, h, w, c = x.shape
     hd, wd = int(h * scale), int(w * scale)
     down = jax.image.resize(x, (b, hd, wd, c), method="cubic", antialias=True)

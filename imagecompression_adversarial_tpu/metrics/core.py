@@ -41,13 +41,30 @@ def bpp_from_likelihoods(
 
 
 def vi(mse_in: jax.Array, mse_out: jax.Array) -> jax.Array:
-    """The paper's headline attack metric: 10*log10(mse_out / mse_in)."""
-    return 10.0 * jnp.log10(mse_out / mse_in)
+    """The paper's headline attack metric: 10*log10(mse_out / mse_in).
+
+    The reference only reports VI when both MSEs exceed 1e-20 and returns
+    None otherwise (`/root/reference/self_ensemble.py:238-243`).  ``None``
+    is not jit-representable, so we floor both terms at 1e-20 instead —
+    a no-op attack (mse_in == mse_out == 0) yields a finite 0.0 dB rather
+    than NaN/inf.
+    """
+    return 10.0 * jnp.log10(
+        jnp.maximum(mse_out, 1e-20) / jnp.maximum(mse_in, 1e-20)
+    )
 
 
 def vi_msim(msim_in: jax.Array, msim_out: jax.Array) -> jax.Array:
-    """MS-SSIM analog of VI: 10*log10((1 - msim_out) / (1 - msim_in))."""
-    return 10.0 * jnp.log10((1.0 - msim_out) / (1.0 - msim_in))
+    """MS-SSIM analog of VI: 10*log10((1 - msim_out) / (1 - msim_in)).
+
+    The reference skips this metric when msim_in >= 0.9999
+    (`/root/reference/self_ensemble.py:240-242`); flooring both
+    complements at 1e-4 (== 1 - 0.9999) keeps it finite under jit for
+    identical inputs instead.
+    """
+    return 10.0 * jnp.log10(
+        jnp.maximum(1.0 - msim_out, 1e-4) / jnp.maximum(1.0 - msim_in, 1e-4)
+    )
 
 
 # BT.601 full-range RGB <-> YUV (reference torch_rgb2yuv444).

@@ -112,3 +112,16 @@ def test_defend_fn_dispatch():
         assert False
     except ValueError:
         pass
+
+
+def test_draw_resize_scale_host_side_and_jittable():
+    from imagecompression_adversarial_tpu.defenses.self_ensemble import (
+        draw_resize_scale,
+    )
+
+    s = draw_resize_scale(0)
+    assert 0.5 <= s <= 0.75
+    assert s == draw_resize_scale(0)  # deterministic per seed
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    up = jax.jit(lambda v: random_resize(v, scale=s)[0])(x)
+    assert up.shape == x.shape

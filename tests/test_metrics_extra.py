@@ -92,3 +92,25 @@ def test_channel_maxima():
     y = jnp.zeros((1, 4, 4, 3)).at[0, 1, 1, 2].set(-7.0)
     m = channel_maxima(y)
     np.testing.assert_allclose(m, [0.0, 0.0, 7.0])
+
+
+def test_vi_guards_no_op_attack_finite():
+    """A no-op attack (identical in/out) must return finite VI metrics
+    (ref guards: self_ensemble.py:238-243)."""
+    import jax.numpy as jnp
+    from imagecompression_adversarial_tpu.metrics import vi, vi_msim
+
+    z = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+    assert float(vi(z, z)) == 0.0
+    assert float(vi_msim(one, one)) == 0.0
+    # one-sided degenerate cases stay finite too
+    import numpy as np
+
+    assert np.isfinite(float(vi(z, jnp.float32(1e-4))))
+    assert np.isfinite(float(vi(jnp.float32(1e-4), z)))
+    assert np.isfinite(float(vi_msim(jnp.float32(0.5), one)))
+    # and jit-compatible
+    import jax
+
+    assert np.isfinite(float(jax.jit(vi)(z, z)))
