@@ -47,12 +47,30 @@ def profile_latents(
     # k-th largest max / k-th smallest min per channel (ref :65-66)
     channel_max = np.sort(maxs, axis=0)[-kk, :]
     channel_min = np.sort(mins, axis=0)[kk - 1, :]
+
+    # Rank statistics for clip_dead_channel (ref commented analysis
+    # `feature_range.py:83-98` + consumer `self_ensemble.py:133-154`):
+    # per image, rank channels by spatial abs-max descending; store each
+    # channel's best/worst rank over the corpus.
+    order = np.argsort(-absmaxs, axis=1)  # (N, C)
+    ranks = np.empty_like(order)
+    np.put_along_axis(ranks, order, np.arange(order.shape[1])[None, :], axis=1)
+    ranks_max = ranks.max(axis=0)
+    ranks_min = ranks.min(axis=0)
+
+    # dead channels: activations never leave [-thres, thres] over the corpus
+    # (ref `feature_range.py:74-81`, thres = 2.0)
+    dead = (maxs.max(axis=0) < 2.0) & (mins.min(axis=0) > -2.0)
+
     return {
         "channel_max": channel_max,
         "channel_min": channel_min,
         "per_image_max": maxs,
         "per_image_min": mins,
         "per_image_absmax": absmaxs,
+        "ranks_max": ranks_max,
+        "ranks_min": ranks_min,
+        "dead": dead,
     }
 
 

@@ -161,6 +161,33 @@ def make_cw_attack_fn(module, cfg: CWAttackConfig):
         carry = jax.lax.while_loop(outer_cond_full, outer_body_full, (init, x))
         (_, _, _, loss_i, _, n_rounds, _), im_in = carry
 
+        if not cfg.fast:
+            # Post-hoc exact-budget amplitude search (ref `attack_cw.py:44-54`,
+            # absent from attack_cw_fast): bisect a scalar cap on |noise| until
+            # the clamped noise's MSE meets the input budget (interval 1/256),
+            # then report the capped adversarial input so mse_in never
+            # overshoots the budget by more than one 8-bit quantization step.
+            noise_f = im_in - x
+
+            def amp_cond(c):
+                min_n, max_n = c
+                return jnp.abs(min_n - max_n) > 1.0 / 256.0
+
+            def amp_body(c):
+                min_n, max_n = c
+                mid = (min_n + max_n) / 2.0
+                capped_mse = jnp.mean(jnp.clip(noise_f, -mid, mid) ** 2)
+                over = capped_mse > cfg.noise_threshold
+                # over budget -> shrink the cap; else grow the floor (ref :48-51)
+                return jnp.where(over, min_n, mid), jnp.where(over, mid, max_n)
+
+            _, max_n = jax.lax.while_loop(
+                amp_cond,
+                amp_body,
+                (jnp.asarray(0.0, jnp.float32), jnp.max(jnp.abs(noise_f))),
+            )
+            im_in = x + jnp.clip(noise_f, -max_n, max_n)
+
         ev = evaluate(apply_fn, im_in, x, output_s, clamp=cfg.clamp)
         ev.update(
             {

@@ -28,11 +28,26 @@ def run(cfg) -> dict:
         clamp=cfg.clamp,
         defend_in_loop=cfg.method if (cfg.adv and cfg.defend) else None,
     )
-    defend_builder = (
-        (lambda apply_fn: make_defend_fn(apply_fn, cfg.method))
-        if cfg.defend
-        else None
-    )
+    if cfg.defend and cfg.method == "clip":
+        # latent rank/dead-channel clamp (ref `self_ensemble.py:133-154`):
+        # needs the profile + codec decomposition, not just the forward fn
+        from functools import partial
+
+        from ..analysis.feature_range import profile_path
+        from ..defenses import clip_dead_channel, load_range_profile, make_latent_defend_fn
+
+        prof_file = cfg.profile or profile_path(cfg.model, cfg.metric, cfg.quality)
+        prof = load_range_profile(prof_file)
+        transform = partial(
+            clip_dead_channel, dead=prof["dead"], ranks_min=prof["ranks_min"]
+        )
+        defend_builder = lambda apply_fn: make_latent_defend_fn(
+            module, params, transform
+        )
+    elif cfg.defend:
+        defend_builder = lambda apply_fn: make_defend_fn(apply_fn, cfg.method)
+    else:
+        defend_builder = None
     attack = make_attack_fn(module, att_cfg, defend_fn_builder=defend_builder)
 
     def per_image(im, idx):

@@ -56,6 +56,7 @@ class Config:
     # defense
     defend: bool = False
     method: str = "ensemble"
+    profile: Optional[str] = None  # latent range/rank profile (.npz) for clip
     degrade: Optional[str] = None
     finetune: bool = False
     # batching (TPU extension: images attacked per device step)
@@ -115,7 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     # defense
     p.add_argument("--defend", action="store_true")
     p.add_argument("--defend_m", dest="method", type=str, default=d.method,
-                   help="ensemble|resize|bitdepth")
+                   help="ensemble|resize|bitdepth|clip")
+    p.add_argument("-profile", dest="profile", type=str, default=d.profile,
+                   help="latent range/rank profile .npz (for --defend_m clip; "
+                        "defaults to the feature_range naming scheme)")
     p.add_argument("-degrade", dest="degrade", type=str, default=d.degrade)
     p.add_argument("--fintune", dest="finetune", action="store_true")
     # TPU extension

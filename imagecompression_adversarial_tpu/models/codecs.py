@@ -72,6 +72,14 @@ class CodecModel(nn.Module):
     def decode(self, y):
         return self.g_s(y)
 
+    def from_latent(self, y, quant_mode: str = "noise") -> Result:
+        """Run the codec forward from a given latent ``y`` (everything after
+        g_a).  This is the hook the latent-clamp defenses use: clamp
+        ``g_a(x)`` outside, then re-enter here — the JAX analog of the
+        reference's y_main-rewrite pattern (ref `attack_ifgsm.py:186-210`,
+        `attack_rd.py:220-228`)."""
+        raise NotImplementedError
+
 
 class FactorizedPrior(CodecModel):
     """bmshj2018-factorized: 4x (conv5x5/2 + GDN) analysis, mirrored synthesis,
@@ -113,7 +121,9 @@ class FactorizedPrior(CodecModel):
         return y
 
     def __call__(self, x, quant_mode: str = "noise") -> Result:
-        y = self.g_a(x)
+        return self.from_latent(self.g_a(x), quant_mode)
+
+    def from_latent(self, y, quant_mode: str = "noise") -> Result:
         y_hat, y_lik = self.entropy_bottleneck(
             y, quant_mode=quant_mode, key=_maybe_rng(self, quant_mode)
         )
@@ -187,7 +197,9 @@ class ScaleHyperprior(CodecModel):
         return nn.relu(self.h_s_4(h))
 
     def __call__(self, x, quant_mode: str = "noise") -> Result:
-        y = self.g_a(x)
+        return self.from_latent(self.g_a(x), quant_mode)
+
+    def from_latent(self, y, quant_mode: str = "noise") -> Result:
         z = self.h_a(jnp.abs(y))
         rng = _maybe_rng(self, quant_mode)
         z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)
@@ -278,7 +290,9 @@ class JointAutoregressive(CodecModel):
         return self.entropy_parameters_4(v)
 
     def __call__(self, x, quant_mode: str = "noise") -> Result:
-        y = self.g_a(x)
+        return self.from_latent(self.g_a(x), quant_mode)
+
+    def from_latent(self, y, quant_mode: str = "noise") -> Result:
         z = self.h_a(y)
         rng = _maybe_rng(self, quant_mode)
         z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)
@@ -441,9 +455,11 @@ class Cheng2020AttnGMM(Cheng2020Attention):
     # construct with ep_final_width = 3*K*N (registry does)
 
     def __call__(self, x, quant_mode: str = "noise") -> Result:
+        return self.from_latent(self.g_a(x), quant_mode)
+
+    def from_latent(self, y, quant_mode: str = "noise") -> Result:
         from ..entropy.gaussian import gaussian_mixture_conditional
 
-        y = self.g_a(x)
         z = self.h_a(y)
         rng = _maybe_rng(self, quant_mode)
         z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)
@@ -517,7 +533,9 @@ class DebugCodec(CodecModel):
         return self.h_s_4(h)
 
     def __call__(self, x, quant_mode: str = "noise") -> Result:
-        y = self.g_a(x)
+        return self.from_latent(self.g_a(x), quant_mode)
+
+    def from_latent(self, y, quant_mode: str = "noise") -> Result:
         z = self.h_a(y)
         rng = _maybe_rng(self, quant_mode)
         z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)

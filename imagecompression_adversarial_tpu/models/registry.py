@@ -23,7 +23,7 @@ from .codecs import (
 
 ARCHITECTURES = (
     "factorized", "hyper", "context", "cheng2020", "cheng2020-attn", "debug",
-    "cheng2020-gmm", "invcompress", "hific", "tic", "nlaic",
+    "cheng2020-gmm", "invcompress", "hific", "tic", "nlaic", "fic",
 )
 
 # Quality -> (N, M) tables (CompressAI zoo configuration).
@@ -58,6 +58,9 @@ def model_dims(model: str, quality: int) -> Tuple[int, int]:
             return (128, 192)
         if model == "nlaic":
             return _CONTEXT_CFG[quality]
+        if model == "fic":
+            # Image_coding(3, 32, 192, 42, 64) widths (ref attack_fic.py:148)
+            return (192, 192)
     except KeyError:
         raise ValueError(f"quality {quality} out of range for model {model!r}")
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
@@ -100,6 +103,10 @@ def init_model(model: str, quality: int) -> CodecModel:
         from .nlaic import NLAIC
 
         return NLAIC(N=n, M=m)
+    if model == "fic":
+        from .fic import FIC
+
+        return FIC(N=n, M=m)
     raise ValueError(f"'{model}' not in {ARCHITECTURES} for param '-m'")
 
 

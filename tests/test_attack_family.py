@@ -70,3 +70,17 @@ def test_cw_fast_variant():
     cfg = CWAttackConfig(steps=4, search_steps=3, fast=True)
     res = make_cw_attack_fn(module, cfg)(params, x)
     assert np.isfinite(float(res["vi"]))
+
+
+def test_cw_exact_budget_eval_search():
+    """Post-hoc amplitude bisection (ref attack_cw.py:44-54): reported
+    mse_in must not overshoot the budget by more than the 1/256-cap slack."""
+    module, params, x = _setup()
+    budget = 1e-4
+    cfg = CWAttackConfig(steps=5, search_steps=4, noise_threshold=budget)
+    res = make_cw_attack_fn(module, cfg)(params, x)
+    mse_in = float(res["mse_in"])
+    # cap granularity 1/256 on |noise| bounds the overshoot:
+    # mse(max_n) - mse(min_n) <= 2 * eps_inf / 256 per pixel in the worst case
+    slack = 2.0 * (cfg.epsilon / 255.0) / 256.0
+    assert mse_in <= budget + slack, mse_in
