@@ -5,10 +5,10 @@ the reference at e.g. `/root/reference/attack_TIC.py:106-116`): analysis
 transforms and entropy parameters run on TPU; symbols stream through the
 C++ rANS coder on host; synthesis runs back on TPU.
 
-Supported: ``factorized`` and ``hyper`` (scale hyperprior).  The
-autoregressive families (context / cheng2020) need decode-order sequential
-context modeling and are gated until that milestone (SURVEY §7.3 "hard
-parts" — their estimation path used by every attack is fully supported).
+Supported: every entropy structure in the framework — factorized, scale
+hyperprior, mean-scale, the autoregressive context families (mbt2018 /
+cheng2020, wavefront-parallel host loop), and cheng2020-gmm (per-pixel
+mixture CDFs built on the fly; `entropy/autoregressive.py`).
 """
 
 from __future__ import annotations
@@ -20,7 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import rans
-from .autoregressive import ARWeights, ar_decode, ar_encode
+from .autoregressive import (
+    ARWeights,
+    ar_decode,
+    ar_decode_gmm,
+    ar_encode,
+    ar_encode_gmm,
+)
 from .gaussian import default_scale_table
 from .tables import build_eb_tables, build_gc_tables, gc_build_indexes
 
@@ -28,7 +34,9 @@ from .tables import build_eb_tables, build_gc_tables, gc_build_indexes
 class RealCodec:
     """Bit-exact encode/decode around a trained codec."""
 
-    SUPPORTED = ("factorized", "scale_hyper", "mean_scale", "context")
+    SUPPORTED = (
+        "factorized", "scale_hyper", "mean_scale", "context", "context_gmm",
+    )
 
     def __init__(self, module, params):
         self.module = module
@@ -43,13 +51,16 @@ class RealCodec:
         self.is_factorized = structure == "factorized"
         self.is_hyper = structure == "scale_hyper"
         self.is_meanscale = structure == "mean_scale"
-        self.is_context = structure == "context"
+        self.is_gmm = structure == "context_gmm"
+        self.is_context = structure == "context" or self.is_gmm
 
         self.eb_tables = build_eb_tables(params["entropy_bottleneck"])
         if not self.is_factorized:
             self.gc_tables = build_gc_tables(np.asarray(default_scale_table()))
         if self.is_context:
-            self.ar_weights = ARWeights(params)
+            self.ar_weights = ARWeights(
+                params, gmm_k=getattr(module, "K", 0) if self.is_gmm else 0
+            )
 
         self._g_a = jax.jit(
             lambda x: module.apply({"params": params}, x, method=module.g_a)
@@ -114,9 +125,12 @@ class RealCodec:
 
         if self.is_context:
             hyper_params = np.asarray(self._h_s(jnp.asarray(z_hat)))
-            y_string = ar_encode(
-                y[0], hyper_params[0], self.ar_weights, self.gc_tables
-            )
+            if self.is_gmm:
+                y_string = ar_encode_gmm(y[0], hyper_params[0], self.ar_weights)
+            else:
+                y_string = ar_encode(
+                    y[0], hyper_params[0], self.ar_weights, self.gc_tables
+                )
             return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
 
         gp = np.asarray(self._h_s(jnp.asarray(z_hat)))
@@ -150,9 +164,12 @@ class RealCodec:
 
         if self.is_context:
             hyper_params = np.asarray(self._h_s(jnp.asarray(z_hat)))
-            y_hat = ar_decode(
-                y_string, hyper_params[0], self.ar_weights, self.gc_tables
-            )[None]
+            if self.is_gmm:
+                y_hat = ar_decode_gmm(y_string, hyper_params[0], self.ar_weights)[None]
+            else:
+                y_hat = ar_decode(
+                    y_string, hyper_params[0], self.ar_weights, self.gc_tables
+                )[None]
             x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
             return np.clip(x_hat, 0.0, 1.0)
 

@@ -183,17 +183,26 @@ class StreamingDecoder:
             _as_ptr(buf, ctypes.c_uint8), buf.size
         )
 
-    def decode(self, indexes) -> np.ndarray:
+    def decode(self, indexes, cdfs=None, cdf_sizes=None, offsets=None) -> np.ndarray:
+        """Decode len(indexes) symbols.  Optional per-call table overrides
+        support models whose CDF rows are built on the fly (GMM context:
+        a fresh row stack per wavefront, indexes = arange within it)."""
         indexes = np.ascontiguousarray(indexes, np.int32)
+        if cdfs is None:
+            cdfs, cdf_sizes, offsets = self.cdfs, self.cdf_sizes, self.offsets
+        else:
+            cdfs = np.ascontiguousarray(cdfs, np.uint32)
+            cdf_sizes = np.ascontiguousarray(cdf_sizes, np.int32)
+            offsets = np.ascontiguousarray(offsets, np.int32)
         out = np.empty(indexes.size, np.int32)
         rc = self._lib.rans_dec_decode(
             self._handle,
             _as_ptr(indexes, ctypes.c_int32),
             indexes.size,
-            _as_ptr(self.cdfs, ctypes.c_uint32),
-            self.cdfs.shape[1],
-            _as_ptr(self.cdf_sizes, ctypes.c_int32),
-            _as_ptr(self.offsets, ctypes.c_int32),
+            _as_ptr(cdfs, ctypes.c_uint32),
+            cdfs.shape[1],
+            _as_ptr(cdf_sizes, ctypes.c_int32),
+            _as_ptr(offsets, ctypes.c_int32),
             _as_ptr(out, ctypes.c_int32),
         )
         if rc != 0:

@@ -2,9 +2,10 @@
 
 Reference: the HiFiC model's loss wiring (`/root/reference/HiFiC/model.py`,
 ported TF1 code): generator total = rate + k_M * 255^2 * MSE + k_P *
-perceptual + beta * g_loss with non-saturating GAN losses.  The sandbox has
-no LPIPS network, so the perceptual term is (1 - MS-SSIM) — documented
-substitution; an LPIPS callable can be passed in.
+perceptual + beta * g_loss with non-saturating GAN losses.  The perceptual
+term defaults to (1 - MS-SSIM); pass `metrics.lpips.make_lpips_fn()` (or a
+converted-real-weights variant via `lpips_fn_from_params`) as
+``perceptual_fn`` for the LPIPS term the reference HiFiC uses.
 """
 
 from __future__ import annotations

@@ -11,12 +11,25 @@ Matches the reference ``RateDistortionLoss`` (`/root/reference/train.py:37-96`):
 from __future__ import annotations
 
 import math
-from typing import Any, Dict
+from typing import Any, Callable, Dict, Optional
 
 import jax.numpy as jnp
 
 from ..metrics import ms_ssim
 from ..ops.bounds import lower_bound
+
+_DEFAULT_LPIPS: Optional[Callable] = None
+
+
+def _default_lpips() -> Callable:
+    """Lazily built module-default LPIPS callable (random features — the
+    documented sandbox substitute; see `metrics/lpips.py`)."""
+    global _DEFAULT_LPIPS
+    if _DEFAULT_LPIPS is None:
+        from ..metrics.lpips import make_lpips_fn
+
+        _DEFAULT_LPIPS = make_lpips_fn(seed=0)
+    return _DEFAULT_LPIPS
 
 _LOG2 = math.log(2.0)
 _LIK_FLOOR = 1.0 / 65536.0
@@ -36,6 +49,7 @@ def rate_distortion_loss(
     target,
     lmbda: float,
     metric: str = "mse",
+    perceptual_fn: Optional[Callable] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Compute {loss, bpp_loss, distortion} for a codec forward result."""
     n, h, w, _ = target.shape
@@ -53,10 +67,17 @@ def rate_distortion_loss(
     elif metric == "ms-ssim":
         distortion = 1.0 - ms_ssim(x_hat, target)
         loss = lmbda * distortion + bpp
+    elif metric == "lpips":
+        # ref `train.py:92-94`: loss = lmbda * mean(lpips(x_hat, x)) + bpp.
+        # perceptual_fn defaults to the in-framework LPIPS head with random
+        # AlexNet-shaped features (metrics/lpips.py); converted real LPIPS
+        # weights plug in via the argument.
+        fn = perceptual_fn if perceptual_fn is not None else _default_lpips()
+        distortion = fn(x_hat, target)
+        loss = lmbda * distortion + bpp
     else:
-        raise NotImplementedError(
-            f"metric {metric!r}: 'lpips' requires an external perceptual net "
-            "(unavailable in this build); use 'mse' or 'ms-ssim'"
+        raise ValueError(
+            f"metric {metric!r} not in ('mse', 'ms-ssim', 'lpips')"
         )
     return {"loss": loss, "bpp_loss": bpp, "distortion": distortion}
 

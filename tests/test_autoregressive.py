@@ -76,3 +76,83 @@ def test_realcodec_context_roundtrip():
     x_hat = codec.decompress(out["strings"], out["shape"])
     assert x_hat.shape == x.shape
     assert np.isfinite(x_hat).all()
+
+
+def test_wavefront_schedule_is_causal():
+    from imagecompression_adversarial_tpu.entropy.autoregressive import wavefronts
+
+    h, w = 5, 9
+    seen = np.full((h, w), -1)
+    for t, (iis, jjs) in enumerate(wavefronts(h, w)):
+        seen[iis, jjs] = t
+    assert (seen >= 0).all()  # every pixel scheduled exactly once
+    # every causal dependency (row above within +-2, same row left 2) is
+    # scheduled strictly earlier
+    for i in range(h):
+        for j in range(w):
+            for di, dj in [(0, -1), (0, -2), (-1, -2), (-1, 2), (-2, 2)]:
+                ii, jj = i + di, j + dj
+                if 0 <= ii < h and 0 <= jj < w and (di, dj) != (0, 0):
+                    assert seen[ii, jj] < seen[i, j]
+
+
+def test_realcodec_gmm_roundtrip():
+    """Bit-exact compress/decompress for cheng2020-gmm (per-pixel mixture
+    CDFs; VERDICT round-1 missing #3)."""
+    from imagecompression_adversarial_tpu.entropy.codec import RealCodec
+
+    module = init_model("cheng2020-gmm", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    codec = RealCodec(module, params)
+    x = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)), np.float32
+    )
+    out = codec.compress(x)
+    assert len(out["strings"]) == 2 and len(out["strings"][0]) > 0
+    x_hat = codec.decompress(out["strings"], out["shape"])
+    assert x_hat.shape == x.shape
+    assert np.isfinite(x_hat).all()
+
+    # bit-exactness of the latent path: decoded y_hat must equal the
+    # encoder-side round(y)
+    import jax.numpy as jnp
+    from imagecompression_adversarial_tpu.entropy.autoregressive import (
+        ar_decode_gmm,
+        ar_encode_gmm,
+        ARWeights,
+    )
+
+    y = np.asarray(codec._g_a(jnp.asarray(x)))
+    z = np.asarray(codec._h_a(jnp.asarray(y)))
+    _, z_hat = codec._eb_encode(z)
+    hyper = np.asarray(codec._h_s(jnp.asarray(z_hat)))
+    string = ar_encode_gmm(y[0], hyper[0], codec.ar_weights)
+    y_dec = ar_decode_gmm(string, hyper[0], codec.ar_weights)
+    np.testing.assert_array_equal(y_dec, np.round(y[0]))
+
+
+def test_gmm_cdf_rows_match_scalar_quantizer():
+    from imagecompression_adversarial_tpu.entropy.tables import (
+        build_gmm_cdf_rows,
+        pmf_to_quantized_cdf,
+        pmf_to_quantized_cdf_batch,
+    )
+
+    rng = np.random.RandomState(0)
+    pmfs = rng.rand(20, 9)
+    tails = rng.rand(20) * 0.01
+    batch = pmf_to_quantized_cdf_batch(pmfs, tails)
+    for r in range(20):
+        single = pmf_to_quantized_cdf(pmfs[r], float(tails[r]))
+        np.testing.assert_array_equal(batch[r], single)
+
+    # mixture rows: terminal 2^16, monotone, sane support
+    scales = np.abs(rng.randn(6, 3)) + 0.2
+    means = rng.randn(6, 3) * 2
+    logits = rng.randn(6, 3)
+    rows, sizes, offs = build_gmm_cdf_rows(scales, means, logits)
+    assert rows.shape[0] == 6
+    assert (rows[:, 0] == 0).all()
+    assert (np.take_along_axis(rows, (sizes[:, None]).astype(np.int64), 1)
+            == (1 << 16)).all()
+    assert (np.diff(rows.astype(np.int64), axis=1) >= 0).all()
