@@ -114,6 +114,17 @@ def run(cfg) -> dict:
             res = jax.tree_util.tree_map(np.asarray, res)
             report(os.path.basename(path), res, im, h, w, time.time() - t0)
 
+    if cfg.trace:
+        # profiler observability (SURVEY §5): rerun the last image's attack
+        # under jax.profiler with the compile already cached, so the trace
+        # shows steady-state device execution only
+        im, h, w = read_image(files[-1])
+        im = np.asarray(im, np.float32)
+        with jax.profiler.trace(cfg.trace):
+            res = attack(params, im)
+            jax.block_until_ready(res["vi"])
+        print(f"[trace] jax.profiler trace written to {cfg.trace}")
+
     avg = {k: v / n for k, v in sums.items()}
     avg["dbpp"] = (avg["bpp"] - avg["bpp_ori"]) / avg["bpp_ori"]
     print(

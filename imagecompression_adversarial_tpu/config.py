@@ -19,6 +19,7 @@ class Config:
     # device / precision
     device: str = "tpu"
     precision: str = "highest"  # matmul precision: 'highest' for parity, 'bfloat16' for speed
+    trace: Optional[str] = None  # dump a jax.profiler trace to this directory
     # training
     lr_train: float = 1e-4
     lamb: Optional[float] = None
@@ -71,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-device", type=str, default=d.device, help="jax platform")
     p.add_argument("-precision", type=str, default=d.precision,
                    help="matmul precision: highest|float32|bfloat16|default")
+    p.add_argument("-trace", dest="trace", type=str, default=d.trace,
+                   help="dump a jax.profiler trace (TensorBoard format) of "
+                        "the hot section to this directory")
     # train
     p.add_argument("-lr_train", dest="lr_train", type=float, default=d.lr_train)
     p.add_argument("-lamb", dest="lamb", type=float, default=d.lamb,

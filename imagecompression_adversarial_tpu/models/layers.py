@@ -284,7 +284,12 @@ class SubpelConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         r = self.upscale
-        y = Conv(self.features * r * r, kernel_size=self.kernel_size, stride=1)(x)
+        # named "conv" so the checkpoint converter's `subpel_conv.0.weight`
+        # -> `subpel_conv/conv/kernel` mapping lands (io/convert.py)
+        y = Conv(
+            self.features * r * r, kernel_size=self.kernel_size, stride=1,
+            name="conv",
+        )(x)
         return pixel_shuffle(y, r)
 
 

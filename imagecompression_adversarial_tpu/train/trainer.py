@@ -106,6 +106,7 @@ def train(cfg: Config, data_root: Optional[str] = None,
     rng = jax.random.PRNGKey(42)
     noise_range = cfg.noise
     global_step = int(state.step)
+    trace_step = global_step + 1  # 2nd step: compile already cached
     logs = {}
     stop = False
     epoch = start_epoch
@@ -127,7 +128,16 @@ def train(cfg: Config, data_root: Optional[str] = None,
                 thresh = noise_range * min(global_step, 100) / 100.0
                 batch = jitted_adv(state.params, batch, jnp.float32(thresh))
 
-            state, logs = jitted_step(state, batch, step_rng, jnp.float32(sched.lr))
+            if cfg.trace and global_step == trace_step:
+                # -trace: profile one steady-state step (compile cached)
+                with jax.profiler.trace(cfg.trace):
+                    state, logs = jitted_step(
+                        state, batch, step_rng, jnp.float32(sched.lr)
+                    )
+                    jax.block_until_ready(logs["loss"])
+                print(f"[trace] jax.profiler trace written to {cfg.trace}")
+            else:
+                state, logs = jitted_step(state, batch, step_rng, jnp.float32(sched.lr))
             global_step += 1
 
             eval_every = 10 if cfg.adv else (1000 if cfg.recompress else 10000)
