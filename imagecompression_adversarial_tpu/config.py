@@ -54,6 +54,7 @@ class Config:
     clamp: bool = True
     search_steps: int = 20
     recompress: Optional[int] = None
+    epochs: Optional[int] = None  # override the 200/100 (adv) default
     # defense
     defend: bool = False
     method: str = "ensemble"
@@ -117,6 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-clamp", dest="clamp", action="store_false")
     p.add_argument("-ssteps", dest="search_steps", type=int, default=d.search_steps)
     p.add_argument("-re", dest="recompress", type=int, default=d.recompress)
+    p.add_argument("-epochs", dest="epochs", type=int, default=d.epochs,
+                   help="training epochs (default 200, 100 with --adv)")
     # defense
     p.add_argument("--defend", action="store_true")
     p.add_argument("--defend_m", dest="method", type=str, default=d.method,

@@ -34,6 +34,19 @@ from .loss import lambda_for, rate_distortion_loss
 from .step import ReduceLROnPlateau, create_train_state
 
 
+def _append_curve(log_path: Optional[str], record: dict) -> None:
+    """Append one JSONL training-curve record (the reference's append-only
+    text log, `train.py:232-235`, in a machine-readable form)."""
+    if not log_path:
+        return
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+    with open(log_path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
 def train(cfg: Config, data_root: Optional[str] = None,
           max_steps: Optional[int] = None, crop: int = 256,
           augment: bool = False) -> dict:
@@ -46,7 +59,7 @@ def train(cfg: Config, data_root: Optional[str] = None,
     state, train_step = create_train_state(module, params)
     sched = ReduceLROnPlateau(cfg.lr_train)
 
-    epochs_num = 100 if cfg.adv else 200
+    epochs_num = cfg.epochs or (100 if cfg.adv else 200)  # ref train.py:271
     if cfg.debug:
         epochs_num = min(epochs_num, 2)
     ckpt_dir = ckpt_dir_for(cfg, lamb)
@@ -140,6 +153,10 @@ def train(cfg: Config, data_root: Optional[str] = None,
                 state, logs = jitted_step(state, batch, step_rng, jnp.float32(sched.lr))
             global_step += 1
 
+            # NOTE --adv eval cost: eval_attack compiles ONCE (jitted), but
+            # each eval still RUNS a full cfg.steps-iteration attack on the
+            # held-out batch — with the default 1001 steps that is ~100x a
+            # train step every 10 steps; use smaller -steps for smoke runs.
             eval_every = 10 if cfg.adv else (1000 if cfg.recompress else 10000)
             if global_step % eval_every == 0:
                 loss = test_epoch(state.params)
@@ -152,6 +169,12 @@ def train(cfg: Config, data_root: Optional[str] = None,
                     f"rate: {float(logs['bpp_loss']):.4f} lr: {lr:g} "
                     f"eval: {loss:.4f} t: {time.time() - t0:.1f}s"
                 )
+                _append_curve(cfg.log, {
+                    "step": global_step, "loss": float(logs["loss"]),
+                    "distortion": float(logs["distortion"]),
+                    "bpp": float(logs["bpp_loss"]), "lr": lr,
+                    "eval_loss": loss, "t": round(time.time() - t0, 2),
+                })
                 ckpts.save(
                     global_step, state,
                     extra={"epoch": epoch, "loss": loss, "lr": sched.lr},
