@@ -39,6 +39,10 @@ class RDAttackConfig:
     # reference output back (ref `-p` flag, `attack_rd.py:390-417`)
     pad: Optional[int] = None
     padding_mode: str = "reflect"
+    # rematerialize the loss in the backward pass: measured +5% attack
+    # throughput on v5e (activation HBM traffic dominates the backward;
+    # scripts/perf_attack_variants.py, RESULTS.md round 2)
+    remat: bool = True
 
 
 def multistep_lr_schedule(

@@ -120,9 +120,10 @@ def make_attack_fn(
         noise0 = init_noise(x.shape, cfg, key)
         opt_state0 = opt.init(noise0)
 
-        grad_fn = jax.grad(
-            lambda n: _attack_loss(apply_fn, x, output_s, n, cfg), has_aux=True
-        )
+        loss_fn = lambda n: _attack_loss(apply_fn, x, output_s, n, cfg)
+        if cfg.remat:
+            loss_fn = jax.checkpoint(loss_fn)
+        grad_fn = jax.grad(loss_fn, has_aux=True)
 
         def step(carry, lr):
             noise, opt_state = carry
@@ -202,7 +203,7 @@ def make_adv_example_fn(module, cfg: RDAttackConfig):
 
         noise0 = init_noise(x.shape, cfg, key)
         opt_state0 = opt.init(noise0)
-        grad_fn = jax.grad(loss_fn)
+        grad_fn = jax.grad(jax.checkpoint(loss_fn) if cfg.remat else loss_fn)
 
         def step(carry, lr):
             noise, opt_state = carry

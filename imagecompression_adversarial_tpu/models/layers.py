@@ -166,7 +166,9 @@ class GDN(nn.Module):
         if impl == "pallas":
             from ..ops.pallas_gdn import gdn_fused
 
-            interpret = jax.default_backend() != "tpu"
+            # interpret only on the host backend; the axon relay reports
+            # backend "axon" for the real chip
+            interpret = jax.default_backend() == "cpu"
             return gdn_fused(
                 x, gamma.astype(x.dtype), beta.astype(x.dtype),
                 self.inverse, interpret,

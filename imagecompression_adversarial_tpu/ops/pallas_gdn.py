@@ -39,7 +39,13 @@ except Exception:  # pragma: no cover
     pltpu = None
     _MEMSPACE = None
 
-_TILE_N = 512
+_TILE_N = 512  # default row-block; override per call via tile_n
+
+
+def set_default_tile(n: int) -> None:
+    """Set the module default row-block (used by the GDN module path)."""
+    global _TILE_N
+    _TILE_N = n
 
 
 def _gdn_kernel(x_ref, gamma_ref, beta_ref, out_ref, *, inverse: bool):
@@ -59,9 +65,10 @@ def _gdn_kernel(x_ref, gamma_ref, beta_ref, out_ref, *, inverse: bool):
         out_ref[:] = x * jax.lax.rsqrt(norm)
 
 
-def _gdn_forward(x2d, gamma, beta, inverse: bool, interpret: bool):
+def _gdn_forward(x2d, gamma, beta, inverse: bool, interpret: bool,
+                 tile_n: int = 0):
     n, c = x2d.shape
-    tile = min(_TILE_N, n)
+    tile = min(tile_n or _TILE_N, n)
     n_pad = ((n + tile - 1) // tile) * tile
     if n_pad != n:
         x2d = jnp.pad(x2d, ((0, n_pad - n), (0, 0)))
