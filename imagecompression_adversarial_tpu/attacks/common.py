@@ -43,6 +43,23 @@ class RDAttackConfig:
     # throughput on v5e (activation HBM traffic dominates the backward;
     # scripts/perf_attack_variants.py, RESULTS.md round 2)
     remat: bool = True
+    # 'full'    — save nothing, recompute the whole forward in the backward
+    # 'latents' — save only the checkpoint_name'd 16x-downsampled latents
+    #             (models/codecs.py), so the decoder backward recomputes
+    #             g_s from y_hat instead of re-running g_a+hyper first
+    remat_policy: str = "full"
+
+
+def remat_transform(cfg: "RDAttackConfig"):
+    """(loss_fn -> loss_fn) applying the configured rematerialization."""
+    if not cfg.remat:
+        return lambda f: f
+    if cfg.remat_policy == "latents":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "latent", "latent_hat", "hyper_out"
+        )
+        return lambda f: jax.checkpoint(f, policy=policy)
+    return jax.checkpoint
 
 
 def multistep_lr_schedule(

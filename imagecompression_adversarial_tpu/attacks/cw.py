@@ -70,7 +70,8 @@ def make_cw_attack_fn(module, cfg: CWAttackConfig):
             c_eff = jnp.where(1.0 - loss_o > noise_level * 1.1, 0.0, c)
             return loss_i + c_eff * loss_o, (loss_i, loss_o)
 
-        grad_fn = jax.grad(cw_loss, has_aux=True)
+        # remat: recompute-in-backward beats activation save/restore on v5e
+        grad_fn = jax.grad(jax.checkpoint(cw_loss), has_aux=True)
 
         def adam_round(noise, opt_state, c, noise_level):
             def adam_step(carry, _):

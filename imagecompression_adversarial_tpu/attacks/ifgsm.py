@@ -62,7 +62,9 @@ def make_ifgsm_fn(module, cfg: IFGSMConfig):
             out = apply_fn(im_adv, quant_mode="none")
             return jnp.mean((output_s - out["x_hat"]) ** 2)
 
-        grad_fn = jax.grad(loss_o_fn)
+        # remat: the backward is activation-HBM-bound, recompute wins on v5e
+        # (scripts/perf_attack_variants.py)
+        grad_fn = jax.grad(jax.checkpoint(loss_o_fn))
 
         def step(carry, _):
             im_adv, g = carry

@@ -27,7 +27,13 @@ import jax.numpy as jnp
 
 from ..metrics import bpp_from_likelihoods, ms_ssim
 from ..ops.bounds import bound_clip
-from .common import RDAttackConfig, adam_on_noise, init_noise, multistep_lr_schedule
+from .common import (
+    RDAttackConfig,
+    adam_on_noise,
+    init_noise,
+    multistep_lr_schedule,
+    remat_transform,
+)
 from .evaluate import evaluate
 
 
@@ -120,9 +126,9 @@ def make_attack_fn(
         noise0 = init_noise(x.shape, cfg, key)
         opt_state0 = opt.init(noise0)
 
-        loss_fn = lambda n: _attack_loss(apply_fn, x, output_s, n, cfg)
-        if cfg.remat:
-            loss_fn = jax.checkpoint(loss_fn)
+        loss_fn = remat_transform(cfg)(
+            lambda n: _attack_loss(apply_fn, x, output_s, n, cfg)
+        )
         grad_fn = jax.grad(loss_fn, has_aux=True)
 
         def step(carry, lr):
@@ -203,7 +209,7 @@ def make_adv_example_fn(module, cfg: RDAttackConfig):
 
         noise0 = init_noise(x.shape, cfg, key)
         opt_state0 = opt.init(noise0)
-        grad_fn = jax.grad(jax.checkpoint(loss_fn) if cfg.remat else loss_fn)
+        grad_fn = jax.grad(remat_transform(cfg)(loss_fn))
 
         def step(carry, lr):
             noise, opt_state = carry

@@ -126,7 +126,8 @@ def make_targeted_attack_fn(
             )
             return loss, (loss_i, loss_o)
 
-        grad_fn = jax.grad(loss_fn, has_aux=True)
+        # remat: recompute-in-backward beats activation save/restore on v5e
+        grad_fn = jax.grad(jax.checkpoint(loss_fn), has_aux=True)
         noise0 = jnp.zeros_like(x)
         opt_state0 = opt.init(noise0)
 

@@ -31,6 +31,7 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..entropy.factorized import EntropyBottleneck
 from ..entropy.gaussian import gaussian_conditional
@@ -124,9 +125,14 @@ class FactorizedPrior(CodecModel):
         return self.from_latent(self.g_a(x), quant_mode)
 
     def from_latent(self, y, quant_mode: str = "noise") -> Result:
+        # named for the remat policy save_only_these_names: saving only the
+        # 16x-downsampled latents keeps the backward's recompute local
+        # (attacks/common.py remat_policy='latents')
+        y = checkpoint_name(y, "latent")
         y_hat, y_lik = self.entropy_bottleneck(
             y, quant_mode=quant_mode, key=_maybe_rng(self, quant_mode)
         )
+        y_hat = checkpoint_name(y_hat, "latent_hat")
         x_hat = self.g_s(y_hat)
         return {
             "x_hat": x_hat,
@@ -200,14 +206,16 @@ class ScaleHyperprior(CodecModel):
         return self.from_latent(self.g_a(x), quant_mode)
 
     def from_latent(self, y, quant_mode: str = "noise") -> Result:
+        y = checkpoint_name(y, "latent")
         z = self.h_a(jnp.abs(y))
         rng = _maybe_rng(self, quant_mode)
         z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)
-        scales = self.h_s(z_hat)
+        scales = checkpoint_name(self.h_s(z_hat), "hyper_out")
         rng2 = _maybe_rng(self, quant_mode)
         y_hat, y_lik = gaussian_conditional(
             y, scales, quant_mode=quant_mode, key=rng2
         )
+        y_hat = checkpoint_name(y_hat, "latent_hat")
         x_hat = self.g_s(y_hat)
         return {
             "x_hat": x_hat,
@@ -293,16 +301,18 @@ class JointAutoregressive(CodecModel):
         return self.from_latent(self.g_a(x), quant_mode)
 
     def from_latent(self, y, quant_mode: str = "noise") -> Result:
+        y = checkpoint_name(y, "latent")
         z = self.h_a(y)
         rng = _maybe_rng(self, quant_mode)
         z_hat, z_lik = self.entropy_bottleneck(z, quant_mode=quant_mode, key=rng)
-        params = self.h_s(z_hat)
+        params = checkpoint_name(self.h_s(z_hat), "hyper_out")
 
         # The synthesis path uses means-free quantization of y (ref
         # `anchors/model.py:102`: GaussianConditional.quantize without means).
         rng_y = _maybe_rng(self, quant_mode)
         y_hat = quantize(y, "dequantize" if quant_mode in ("dequantize", "ste") else quant_mode,
                          means=None, key=rng_y)
+        y_hat = checkpoint_name(y_hat, "latent_hat")
         ctx = self.context_prediction(y_hat)
         gaussian_params = self.entropy_parameters(
             jnp.concatenate([params, ctx], axis=-1)

@@ -80,10 +80,12 @@ def main():
 
     cp = jax.checkpoint_policies
     timed("remat nothing_saveable (default)", make())
+    timed(
+        "remat save_only latents (named)",
+        make(policy=cp.save_only_these_names("latent", "latent_hat", "hyper_out")),
+    )
     timed("remat dots_saveable", make(policy=cp.dots_saveable))
     timed("remat dots_with_no_batch_dims", make(policy=cp.dots_with_no_batch_dims_saveable))
-    if hasattr(cp, "checkpoint_dots"):
-        pass
     timed("no remat (baseline)", make(remat=False))
 
 
