@@ -80,3 +80,28 @@ def test_attack_increases_output_distortion():
     assert float(res_long["mse_out"]) >= float(res_short["mse_out"]) * 0.5
     # attack produced nonzero perturbation
     assert float(res_long["mse_in"]) > 0
+
+
+def test_remat_policies_agree():
+    """remat=False, full remat, and save-only-latents remat are the same
+    math — the attack trajectory must agree to float tolerance."""
+    import numpy as np
+
+    module = init_model("hyper", 1)
+    params = init_params(module, jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3), jnp.float32)
+
+    results = [
+        make_attack_fn(module, RDAttackConfig(steps=6, remat=remat,
+                                              remat_policy=policy))(params, x)
+        for remat, policy in
+        ((False, "full"), (True, "full"), (True, "latents"))
+    ]
+    for other in results[1:]:
+        np.testing.assert_allclose(
+            float(results[0]["vi"]), float(other["vi"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(results[0]["im_"]), np.asarray(other["im_"]),
+            atol=1e-6,
+        )
