@@ -51,15 +51,20 @@ class RDAttackConfig:
 
 
 def remat_transform(cfg: "RDAttackConfig"):
-    """(loss_fn -> loss_fn) applying the configured rematerialization."""
+    """(loss_fn -> loss_fn) applying the configured rematerialization.
+
+    prevent_cse=False throughout: the grad is always taken inside a
+    `lax.scan` body, where CSE-prevention is unnecessary (JAX docs) and
+    letting XLA CSE the recomputed forward measures slightly faster
+    (190.3 vs 189.7 steps/s, scripts/perf_remat_policies.py)."""
     if not cfg.remat:
         return lambda f: f
     if cfg.remat_policy == "latents":
         policy = jax.checkpoint_policies.save_only_these_names(
             "latent", "latent_hat", "hyper_out"
         )
-        return lambda f: jax.checkpoint(f, policy=policy)
-    return jax.checkpoint
+        return lambda f: jax.checkpoint(f, policy=policy, prevent_cse=False)
+    return lambda f: jax.checkpoint(f, prevent_cse=False)
 
 
 def multistep_lr_schedule(

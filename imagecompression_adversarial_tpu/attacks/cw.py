@@ -71,7 +71,7 @@ def make_cw_attack_fn(module, cfg: CWAttackConfig):
             return loss_i + c_eff * loss_o, (loss_i, loss_o)
 
         # remat: recompute-in-backward beats activation save/restore on v5e
-        grad_fn = jax.grad(jax.checkpoint(cw_loss), has_aux=True)
+        grad_fn = jax.grad(jax.checkpoint(cw_loss, prevent_cse=False), has_aux=True)
 
         def adam_round(noise, opt_state, c, noise_level):
             def adam_step(carry, _):

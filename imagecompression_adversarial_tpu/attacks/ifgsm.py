@@ -64,7 +64,7 @@ def make_ifgsm_fn(module, cfg: IFGSMConfig):
 
         # remat: the backward is activation-HBM-bound, recompute wins on v5e
         # (scripts/perf_attack_variants.py)
-        grad_fn = jax.grad(jax.checkpoint(loss_o_fn))
+        grad_fn = jax.grad(jax.checkpoint(loss_o_fn, prevent_cse=False))
 
         def step(carry, _):
             im_adv, g = carry

@@ -127,7 +127,7 @@ def make_targeted_attack_fn(
             return loss, (loss_i, loss_o)
 
         # remat: recompute-in-backward beats activation save/restore on v5e
-        grad_fn = jax.grad(jax.checkpoint(loss_fn), has_aux=True)
+        grad_fn = jax.grad(jax.checkpoint(loss_fn, prevent_cse=False), has_aux=True)
         noise0 = jnp.zeros_like(x)
         opt_state0 = opt.init(noise0)
 

@@ -60,10 +60,10 @@ def main():
             best = min(best, time.perf_counter() - t0)
         print(f"{name:44s} {steps/best:8.1f} steps/s ({best:.2f}s)", flush=True)
 
-    def make(policy=None, remat=True):
+    def make(policy=None, remat=True, prevent_cse=True, unroll=1):
         loss = lambda n: _attack_loss(apply_fn, x, output_s, n, cfg)
         if remat:
-            loss = jax.checkpoint(loss, policy=policy)
+            loss = jax.checkpoint(loss, policy=policy, prevent_cse=prevent_cse)
         grad_fn = jax.grad(loss, has_aux=True)
 
         def run(noise0):
@@ -74,11 +74,17 @@ def main():
                 noise = noise + jax.tree_util.tree_map(lambda u: -lr * u, updates)
                 return (noise, opt_state), None
 
-            return jax.lax.scan(step, (noise0, opt.init(noise0)), lrs)[0][0]
+            return jax.lax.scan(
+                step, (noise0, opt.init(noise0)), lrs, unroll=unroll
+            )[0][0]
 
         return run
 
     cp = jax.checkpoint_policies
+    # In a scan body prevent_cse is unnecessary (JAX docs) — letting XLA
+    # CSE the recomputed forward may recover part of the double-fwd cost.
+    timed("remat prevent_cse=False", make(prevent_cse=False))
+    timed("remat prevent_cse=False unroll=2", make(prevent_cse=False, unroll=2))
     timed("remat nothing_saveable (default)", make())
     timed(
         "remat save_only latents (named)",
