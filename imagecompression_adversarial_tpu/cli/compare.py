@@ -6,24 +6,25 @@ Mirrors ``python utils/metrics_compare/compare.py a/*.png b/*.png``
 
 from __future__ import annotations
 
-import sys
+import argparse
 
 from ..metrics.compare import compare_globs
 
 
 def main(argv=None):
-    argv = list(argv if argv is not None else sys.argv[1:])
-    if "-device" in argv:
-        i = argv.index("-device")
-        device = argv[i + 1]
-        del argv[i : i + 2]
+    p = argparse.ArgumentParser(
+        prog="compare", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("glob_a", help="first image glob (e.g. 'ori/*.png')")
+    p.add_argument("glob_b", help="second image glob, pairwise vs the first")
+    p.add_argument("-device", choices=("cpu", "tpu"), default=None,
+                   help="force the metric computation backend")
+    args = p.parse_args(argv)
+    if args.device == "cpu":
         import jax
 
-        if device == "cpu":
-            jax.config.update("jax_platforms", "cpu")
-    if len(argv) != 2:
-        raise SystemExit("usage: compare [-device cpu|tpu] <glob_a> <glob_b>")
-    compare_globs(argv[0], argv[1])
+        jax.config.update("jax_platforms", "cpu")
+    compare_globs(args.glob_a, args.glob_b)
 
 
 if __name__ == "__main__":

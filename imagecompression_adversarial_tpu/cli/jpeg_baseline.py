@@ -7,8 +7,8 @@ encode with PIL's libjpeg, report real bpp and PSNR/MS-SSIM.
 
 from __future__ import annotations
 
+import argparse
 import io as _io
-import sys
 
 import numpy as np
 from PIL import Image
@@ -17,33 +17,31 @@ from ..metrics.compare import compare_pair
 
 
 def main(argv=None):
-    argv = list(argv if argv is not None else sys.argv[1:])
-    quality = 50
-    if "-q" in argv:
-        i = argv.index("-q")
-        quality = int(argv[i + 1])
-        del argv[i : i + 2]
-    if "-device" in argv:
-        i = argv.index("-device")
-        if argv[i + 1] == "cpu":
-            import jax
+    p = argparse.ArgumentParser(
+        prog="jpeg_baseline", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("glob", help="image glob (e.g. '/data/kodak/*.png')")
+    p.add_argument("-q", dest="quality", type=int, default=50,
+                   help="JPEG quality (default 50, the reference's setting)")
+    p.add_argument("-device", choices=("cpu", "tpu"), default=None,
+                   help="force the metric computation backend")
+    args = p.parse_args(argv)
+    if args.device == "cpu":
+        import jax
 
-            jax.config.update("jax_platforms", "cpu")
-        del argv[i : i + 2]
-    if len(argv) != 1:
-        raise SystemExit("usage: jpeg_baseline [-q 50] [-device cpu] <glob>")
+        jax.config.update("jax_platforms", "cpu")
 
     from ..io.image import list_images
 
-    files = list_images(argv[0])
+    files = list_images(args.glob)
     if not files:
-        raise SystemExit(f"no images match {argv[0]!r}")
+        raise SystemExit(f"no images match {args.glob!r}")
 
     sums = {"bpp": 0.0, "psnr": 0.0, "msim": 0.0}
     for f in files:
         img = Image.open(f).convert("RGB")
         buf = _io.BytesIO()
-        img.save(buf, format="JPEG", quality=quality)
+        img.save(buf, format="JPEG", quality=args.quality)
         nbytes = buf.tell()
         dec = Image.open(buf)
         a = np.asarray(img, np.float32)[None] / 255.0

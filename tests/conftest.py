@@ -72,6 +72,9 @@ _SLOW_TESTS = {
     "test_hific_generator_loss_accepts_lpips",
     "test_fic_context4_causality",
     "test_fic_first_phase_is_hyper_only",
+    "test_remat_policies_agree",
+    "test_row_sharded_forward_matches_single_device",
+    "test_row_sharded_attack_matches_single_device",
 }
 
 

@@ -1,0 +1,65 @@
+"""Every CLI entry point imports and its parser answers --help.
+
+The acceptance checklist (SURVEY §7.4) is about the public CLI surface;
+this keeps a wiring regression (bad import, broken flag registration)
+from shipping silently.  Parser-level only — the heavyweight end-to-end
+paths are exercised by the engine tests and on-chip runs.
+"""
+
+import importlib
+
+import pytest
+
+CLI_MODULES = [
+    "attack_cv",
+    "attack_cw",
+    "attack_data",
+    "attack_ifgsm",
+    "attack_linear",
+    "attack_patch",
+    "attack_rd",
+    "classifier_train",
+    "codec",
+    "compare",
+    "feature_range",
+    "jpeg_baseline",
+    "random_noise",
+    "recompression",
+    "search",
+    "self_ensemble",
+    "test",
+    "train",
+    "train_hific",
+    "transfer_noise",
+    "visual",
+    "visual_distribution",
+]
+
+
+@pytest.mark.parametrize("name", CLI_MODULES)
+def test_cli_help_exits_zero(name, capsys):
+    mod = importlib.import_module(
+        f"imagecompression_adversarial_tpu.cli.{name}"
+    )
+    assert hasattr(mod, "main"), f"cli.{name} has no main()"
+    with pytest.raises(SystemExit) as exc:
+        mod.main(["--help"])
+    assert exc.value.code == 0
+    out = capsys.readouterr().out
+    assert "usage" in out.lower()
+
+
+def test_reference_flag_spellings_parse():
+    """The reference's public flag spellings (SURVEY §7.4) must all parse."""
+    from imagecompression_adversarial_tpu.config import parse_config
+
+    cfg = parse_config(
+        [
+            "-m", "hyper", "-metric", "mse", "-q", "2",
+            "-s", "/tmp/x/*.png", "-steps", "101", "-noise", "1e-4",
+            "-e", "8", "-lr_attack", "0.01", "--defend",
+            "--defend_m", "ensemble", "--debug", "--no-clamp",
+        ]
+    )
+    assert cfg.model == "hyper" and cfg.quality == 2
+    assert cfg.steps == 101 and not cfg.clamp
