@@ -26,6 +26,15 @@ than H*W.  This is the published "parallel context" trick re-expressed in
 XLA-friendly form; estimation-path rate parity with a sequential context
 model is preserved because each symbol still conditions only on
 already-decoded symbols.
+
+Attack note: because fic decodes the UN-quantized latent, the attack's
+output path is bitwise identical to the clean reference at noise=0 — the
+two-phase loss starts at an exact critical point and zero-initialized
+Adam cannot leave it on a deterministic backend.  The reference has the
+same degeneracy (its random init is commented out, `attack_fic.py:58-59`;
+on GPU, nondeterministic kernels provide the escape jitter).  Attack fic
+with ``-random >= 2`` (uniform noise init, the reference's own
+alternative) — measured on-chip in RESULTS.md.
 """
 
 from __future__ import annotations
