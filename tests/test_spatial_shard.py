@@ -66,6 +66,10 @@ def test_row_sharded_attack_matches_single_device(setup):
         np.testing.assert_allclose(
             float(res_sh[k]), float(res_ref[k]), rtol=1e-4, atol=1e-6
         )
+    # and GSPMD must KEEP the scan partitioned (no silent all-gather):
+    # the adversarial image comes back row-sharded
+    spec = res_sh["im_"].sharding.spec
+    assert tuple(spec) == (None, "sp"), spec
 
 
 def test_row_sharding_rejects_unaligned_height(setup):
