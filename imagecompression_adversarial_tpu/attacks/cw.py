@@ -60,33 +60,44 @@ def make_cw_attack_fn(module, cfg: CWAttackConfig):
         num_pixels = x.shape[1] * x.shape[2]
         bpp_ori = bpp_from_likelihoods(result_s["likelihoods"], num_pixels)
 
-        def cw_loss(noise, c, noise_level):
+        # remat: recompute-in-backward beats activation save/restore on v5e.
+        # params/x/output_s enter as ARGUMENTS — jax.checkpoint
+        # rematerializes closed-over tracers, and a closure over output_s
+        # would re-run the clean forward every step.
+        def cw_loss(noise, c, noise_level, params_, x_, output_s_):
             noise_c = bound_clip(noise, -eps_inf, eps_inf)
-            im_in = bound_clip(x + noise_c, 0.0, 1.0)
-            loss_i = jnp.mean((x - im_in) ** 2)
-            out = apply_fn(im_in, quant_mode="none")
+            im_in = bound_clip(x_ + noise_c, 0.0, 1.0)
+            loss_i = jnp.mean((x_ - im_in) ** 2)
+            out = module.apply({"params": params_}, im_in, quant_mode="none")
             output_ = bound_clip(out["x_hat"], 0.0, 1.0)
-            loss_o = 1.0 - jnp.mean((output_s - output_) ** 2)
+            loss_o = 1.0 - jnp.mean((output_s_ - output_) ** 2)
             c_eff = jnp.where(1.0 - loss_o > noise_level * 1.1, 0.0, c)
             return loss_i + c_eff * loss_o, (loss_i, loss_o)
 
-        # remat: recompute-in-backward beats activation save/restore on v5e
-        grad_fn = jax.grad(jax.checkpoint(cw_loss, prevent_cse=False), has_aux=True)
+        grad_fn = jax.grad(
+            jax.checkpoint(cw_loss, prevent_cse=False), argnums=0, has_aux=True
+        )
 
         def adam_round(noise, opt_state, c, noise_level):
+            # aux discarded per step (XLA DCEs the primal forward — see
+            # attacks/rd.py); the bisection needs only the ROUND's final
+            # losses, computed once after the scan
             def adam_step(carry, _):
                 noise, opt_state = carry
-                grads, aux = grad_fn(noise, c, noise_level)
+                grads, _ = grad_fn(noise, c, noise_level, params, x, output_s)
                 updates, opt_state = opt.update(grads, opt_state)
                 noise = noise + jax.tree_util.tree_map(
                     lambda u: -cfg.lr * u, updates
                 )
-                return (noise, opt_state), aux
+                return (noise, opt_state), None
 
-            (noise, opt_state), (li_h, lo_h) = jax.lax.scan(
+            (noise, opt_state), _ = jax.lax.scan(
                 adam_step, (noise, opt_state), None, length=cfg.steps
             )
-            return noise, opt_state, li_h[-1], lo_h[-1]
+            _, (loss_i, loss_o) = cw_loss(
+                noise, c, noise_level, params, x, output_s
+            )
+            return noise, opt_state, loss_i, loss_o
 
         def search_noise(noise_level):
             """Inner c-bisection (ref `search_noise`, `attack_cw.py:142-199`)."""

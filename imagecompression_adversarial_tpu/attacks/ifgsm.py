@@ -58,17 +58,23 @@ def make_ifgsm_fn(module, cfg: IFGSMConfig):
         else:
             im0 = x
 
-        def loss_o_fn(im_adv):
-            out = apply_fn(im_adv, quant_mode="none")
-            return jnp.mean((output_s - out["x_hat"]) ** 2)
-
         # remat: the backward is activation-HBM-bound, recompute wins on v5e
-        # (scripts/perf_attack_variants.py)
-        grad_fn = jax.grad(jax.checkpoint(loss_o_fn, prevent_cse=False))
+        # (scripts/perf_attack_variants.py).  params/output_s enter as
+        # ARGUMENTS — jax.checkpoint rematerializes closed-over tracers, and
+        # a closure over output_s would re-run the clean forward every step.
+        def loss_o_fn(im_adv, params_, output_s_):
+            out = module.apply(
+                {"params": params_}, im_adv, quant_mode="none"
+            )
+            return jnp.mean((output_s_ - out["x_hat"]) ** 2)
+
+        grad_fn = jax.grad(
+            jax.checkpoint(loss_o_fn, prevent_cse=False), argnums=0
+        )
 
         def step(carry, _):
             im_adv, g = carry
-            grad = grad_fn(im_adv)
+            grad = grad_fn(im_adv, params, output_s)
             if cfg.momentum:
                 g = g + grad / jnp.sum(jnp.abs(grad))
                 im_adv = jnp.clip(im_adv + alpha * jnp.sign(g), 0.0, 1.0)

@@ -126,21 +126,36 @@ def make_attack_fn(
         noise0 = init_noise(x.shape, cfg, key)
         opt_state0 = opt.init(noise0)
 
-        loss_fn = remat_transform(cfg)(
-            lambda n: _attack_loss(apply_fn, x, output_s, n, cfg)
-        )
-        grad_fn = jax.grad(loss_fn, has_aux=True)
+        # x / output_s / params enter the checkpointed function as ARGUMENTS,
+        # not closures: jax.checkpoint rematerializes closed-over
+        # intermediates, so a closure over the traced output_s would re-run
+        # the whole clean dequantize forward in EVERY backward step
+        # (measured: 138 vs 190 steps/s full-attack).
+        def loss_fn(n, params_, x_, output_s_):
+            af = lambda im, quant_mode: module.apply(
+                {"params": params_}, im, quant_mode=quant_mode
+            )
+            return _attack_loss(af, x_, output_s_, n, cfg)
 
+        loss_fn = remat_transform(cfg)(loss_fn)
+        grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
+
+        # The scan body discards the primal/aux values, so XLA dead-code-
+        # eliminates the primal forward: each step is (remat fwd + bwd),
+        # not (primal fwd + remat fwd + bwd).  Carrying the loss history
+        # keeps the primal alive and costs a full extra forward per step
+        # (measured 138 vs 190 steps/s; trace shows 3 vs 2 cond bodies).
         def step(carry, lr):
             noise, opt_state = carry
-            grads, aux = grad_fn(noise)
+            grads, _ = grad_fn(noise, params, x, output_s)
             updates, opt_state = opt.update(grads, opt_state)
             noise = noise + jax.tree_util.tree_map(lambda u: -lr * u, updates)
-            return (noise, opt_state), aux
+            return (noise, opt_state), None
 
-        (noise, _), (loss_i_hist, loss_o_hist) = jax.lax.scan(
-            step, (noise0, opt_state0), lrs
-        )
+        (noise, _), _ = jax.lax.scan(step, (noise0, opt_state0), lrs)
+        # final losses evaluated ONCE on the delivered noise (the reference
+        # prints per-milestone losses; the result API exposes the finals)
+        _, (loss_i_final, loss_o_final) = loss_fn(noise, params, x, output_s)
 
         eps = cfg.epsilon / 255.0
         noise_c = bound_clip(noise, -eps, eps)
@@ -157,8 +172,8 @@ def make_attack_fn(
             {
                 "output_s": output_s,
                 "bpp_ori": bpp_ori,
-                "loss_i_final": loss_i_hist[-1],
-                "loss_o_final": loss_o_hist[-1],
+                "loss_i_final": loss_i_final,
+                "loss_o_final": loss_o_final,
             }
         )
         return ev
@@ -191,29 +206,35 @@ def make_adv_example_fn(module, cfg: RDAttackConfig):
             jnp.clip(result_s["x_hat"], 0.0, 1.0) if cfg.clamp else result_s["x_hat"]
         )
 
-        def loss_fn(noise):
+        # args (not closures) for the checkpointed fn — see make_attack_fn
+        def loss_fn(noise, params_, x_, output_s_, noise_threshold_):
+            af = lambda im, quant_mode: module.apply(
+                {"params": params_}, im, quant_mode=quant_mode
+            )
             noise_c = bound_clip(noise, -eps, eps)
-            im_in = bound_clip(x + noise_c, 0.0, 1.0)
-            loss_i = jnp.mean((x - im_in) ** 2)
+            im_in = bound_clip(x_ + noise_c, 0.0, 1.0)
+            loss_i = jnp.mean((x_ - im_in) ** 2)
 
             def input_phase(_):
                 return loss_i
 
             def output_phase(_):
-                out = apply_fn(im_in, quant_mode="none")
-                x_ = out["x_hat"]
-                output_ = bound_clip(x_, 0.0, 1.0) if cfg.clamp else x_
-                return 1.0 - jnp.mean((output_s - output_) ** 2)
+                out = af(im_in, quant_mode="none")
+                x_hat = out["x_hat"]
+                output_ = bound_clip(x_hat, 0.0, 1.0) if cfg.clamp else x_hat
+                return 1.0 - jnp.mean((output_s_ - output_) ** 2)
 
-            return jax.lax.cond(loss_i > noise_threshold, input_phase, output_phase, None)
+            return jax.lax.cond(
+                loss_i > noise_threshold_, input_phase, output_phase, None
+            )
 
         noise0 = init_noise(x.shape, cfg, key)
         opt_state0 = opt.init(noise0)
-        grad_fn = jax.grad(remat_transform(cfg)(loss_fn))
+        grad_fn = jax.grad(remat_transform(cfg)(loss_fn), argnums=0)
 
         def step(carry, lr):
             noise, opt_state = carry
-            grads = grad_fn(noise)
+            grads = grad_fn(noise, params, x, output_s, noise_threshold)
             updates, opt_state = opt.update(grads, opt_state)
             noise = noise + jax.tree_util.tree_map(lambda u: -lr * u, updates)
             return (noise, opt_state), None

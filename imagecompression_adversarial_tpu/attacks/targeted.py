@@ -85,18 +85,21 @@ def make_targeted_attack_fn(
             mask_tar = jnp.ones_like(x)
             mask_bkg = jnp.zeros_like(x)
 
-        def loss_fn(noise):
+        # params/x/output_s enter as ARGUMENTS — jax.checkpoint
+        # rematerializes closed-over tracers (a closure over output_s would
+        # re-run the clean forward every backward step)
+        def loss_fn(noise, params_, x_, output_s_):
             noise_c = bound_clip(noise, -cfg.noise_range, cfg.noise_range)
-            im_in = bound_clip(x + noise_c, 0.0, 1.0)
-            out = apply_fn(im_in, quant_mode="none")
-            x_ = out["x_hat"]
-            output_ = bound_clip(x_, 0.0, 1.0) if cfg.clamp else x_
+            im_in = bound_clip(x_ + noise_c, 0.0, 1.0)
+            out = module.apply({"params": params_}, im_in, quant_mode="none")
+            x_hat_ = out["x_hat"]
+            output_ = bound_clip(x_hat_, 0.0, 1.0) if cfg.clamp else x_hat_
 
             if cfg.att_metric == "L1":
-                diff_in = jnp.abs(im_in - x)
+                diff_in = jnp.abs(im_in - x_)
                 diff_fn = lambda a, b: jnp.abs(a - b)
             else:
-                diff_in = (im_in - x) ** 2
+                diff_in = (im_in - x_) ** 2
                 diff_fn = lambda a, b: (a - b) ** 2
 
             loss_i = cfg.lamb_tar * jnp.mean(diff_in * mask_tar) + (
@@ -114,9 +117,9 @@ def make_targeted_attack_fn(
             elif target_image is not None:
                 loss_o = cfg.lamb_tar * jnp.mean(
                     diff_fn(output_, target_image) * mask_tar
-                ) + cfg.lamb_bkg_out * jnp.mean(diff_fn(output_, output_s) * mask_bkg)
+                ) + cfg.lamb_bkg_out * jnp.mean(diff_fn(output_, output_s_) * mask_bkg)
             else:
-                loss_o = 1.0 - jnp.mean(diff_fn(x, output_))
+                loss_o = 1.0 - jnp.mean(diff_fn(x_, output_))
 
             loss = jax.lax.cond(
                 loss_i >= cfg.noise_threshold,
@@ -127,18 +130,23 @@ def make_targeted_attack_fn(
             return loss, (loss_i, loss_o)
 
         # remat: recompute-in-backward beats activation save/restore on v5e
-        grad_fn = jax.grad(jax.checkpoint(loss_fn, prevent_cse=False), has_aux=True)
+        grad_fn = jax.grad(
+            jax.checkpoint(loss_fn, prevent_cse=False), argnums=0, has_aux=True
+        )
         noise0 = jnp.zeros_like(x)
         opt_state0 = opt.init(noise0)
 
+        # aux discarded in the scan so XLA DCEs the primal forward (one
+        # fewer forward per step — see attacks/rd.py); finals computed once
         def step(carry, lr):
             noise, opt_state = carry
-            grads, aux = grad_fn(noise)
+            grads, _ = grad_fn(noise, params, x, output_s)
             updates, opt_state = opt.update(grads, opt_state)
             noise = noise + jax.tree_util.tree_map(lambda u: -lr * u, updates)
-            return (noise, opt_state), aux
+            return (noise, opt_state), None
 
-        (noise, _), (li_h, lo_h) = jax.lax.scan(step, (noise0, opt_state0), lrs)
+        (noise, _), _ = jax.lax.scan(step, (noise0, opt_state0), lrs)
+        _, (loss_i_final, loss_o_final) = loss_fn(noise, params, x, output_s)
         im_in = bound_clip(
             x + bound_clip(noise, -cfg.noise_range, cfg.noise_range), 0.0, 1.0
         )
@@ -148,8 +156,8 @@ def make_targeted_attack_fn(
             {
                 "output_s": output_s,
                 "bpp_ori": bpp_ori,
-                "loss_i_final": li_h[-1],
-                "loss_o_final": lo_h[-1],
+                "loss_i_final": loss_i_final,
+                "loss_o_final": loss_o_final,
             }
         )
         return ev
