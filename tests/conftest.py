@@ -75,6 +75,8 @@ _SLOW_TESTS = {
     "test_remat_policies_agree",
     "test_row_sharded_forward_matches_single_device",
     "test_row_sharded_attack_matches_single_device",
+    "test_batch_attack_vmap_matches_single",
+    "test_best_of_restarts_picks_max_vi",
 }
 
 

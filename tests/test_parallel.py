@@ -68,3 +68,42 @@ def test_sharded_attack_pads_ragged_batch():
     )
     out = make_sharded_attack_fn(module, cfg, mesh)(params, xs)
     assert out["vi"].shape == (5,)
+
+
+def test_batch_attack_vmap_matches_single():
+    """make_batch_attack_fn == per-image attacks (vmap semantics)."""
+    from imagecompression_adversarial_tpu.attacks.rd import (
+        make_attack_fn,
+        make_batch_attack_fn,
+    )
+
+    module = init_model("factorized", 1)
+    params = init_params(module, jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+    xs = jax.random.uniform(jax.random.PRNGKey(2), (2, 1, 64, 64, 3), jnp.float32)
+    cfg = RDAttackConfig(steps=3)
+
+    batched = make_batch_attack_fn(module, cfg)(params, xs)
+    single = make_attack_fn(module, cfg)
+    for i in range(2):
+        res = single(params, xs[i])
+        np.testing.assert_allclose(
+            float(batched["vi"][i]), float(res["vi"]), rtol=1e-5
+        )
+
+
+def test_best_of_restarts_picks_max_vi():
+    from imagecompression_adversarial_tpu.attacks.rd import (
+        best_of_restarts,
+        make_attack_fn,
+    )
+
+    module = init_model("factorized", 1)
+    params = init_params(module, jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3), jnp.float32)
+    cfg = RDAttackConfig(steps=3, random_restarts=3)
+    attack = make_attack_fn(module, cfg)
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+
+    best = best_of_restarts(attack, params, x, keys)
+    vis = [float(attack(params, x, k)["vi"]) for k in keys]
+    np.testing.assert_allclose(float(best["vi"]), max(vis), rtol=1e-6)
