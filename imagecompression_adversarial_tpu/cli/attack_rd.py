@@ -137,6 +137,13 @@ def run(cfg) -> dict:
 
 def main(argv=None):
     cfg = parse_config(argv)
+    if cfg.model == "fic" and cfg.random <= 1:
+        # fic decodes the un-quantized latent, so zero-init noise sits at an
+        # exact critical point and never moves (models/fic.py attack note)
+        print(
+            "WARNING: -m fic with zero noise init cannot leave its critical "
+            "point (vi stays 0); use -random 2 or more for uniform init"
+        )
     if cfg.quality < 1:  # quality sweep, ref `attack_rd.py:706-715`
         from ..models import quality_range
 
