@@ -48,6 +48,9 @@ class RDAttackConfig:
     #             (models/codecs.py), so the decoder backward recomputes
     #             g_s from y_hat instead of re-running g_a+hyper first
     remat_policy: str = "full"
+    # lax.scan unroll factor for the attack loop (compile time scales with
+    # it; >1 measured within noise of 1 on the full attack)
+    scan_unroll: int = 1
 
 
 def remat_transform(cfg: "RDAttackConfig"):

@@ -152,7 +152,9 @@ def make_attack_fn(
             noise = noise + jax.tree_util.tree_map(lambda u: -lr * u, updates)
             return (noise, opt_state), None
 
-        (noise, _), _ = jax.lax.scan(step, (noise0, opt_state0), lrs)
+        (noise, _), _ = jax.lax.scan(
+            step, (noise0, opt_state0), lrs, unroll=cfg.scan_unroll
+        )
         # final losses evaluated ONCE on the delivered noise (the reference
         # prints per-milestone losses; the result API exposes the finals)
         _, (loss_i_final, loss_o_final) = loss_fn(noise, params, x, output_s)
