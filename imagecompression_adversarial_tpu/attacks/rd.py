@@ -37,11 +37,28 @@ from .common import (
 from .evaluate import evaluate
 
 
-def _attack_loss(apply_fn, x, output_s, noise, cfg: RDAttackConfig):
+_DEFEND_IN_LOOP = (None, "ensemble", "bitdepth", "resize", "clip")
+
+
+def _attack_loss(apply_fn, x, output_s, noise, cfg: RDAttackConfig, clip_fn=None):
     """Two-phase RD attack loss (ref ``attack_our``, `attack_rd.py:332-379`).
+
+    ``clip_fn`` (required when ``cfg.defend_in_loop == 'clip'``) maps the
+    perturbed input straight through the latent-clamp defense
+    (g_a -> clamp -> from_latent, quant-free) so the adaptive attack
+    optimizes THROUGH the clamp (ref latent defenses `attack_rd.py:44-73`).
 
     Returns (loss, (loss_i, loss_o)).
     """
+    if cfg.defend_in_loop not in _DEFEND_IN_LOOP:
+        raise ValueError(
+            f"defend_in_loop={cfg.defend_in_loop!r} not in {_DEFEND_IN_LOOP}"
+        )
+    if cfg.defend_in_loop == "clip" and clip_fn is None:
+        raise ValueError(
+            "defend_in_loop='clip' needs a latent_transform; pass it to "
+            "make_attack_fn(..., latent_transform=...)"
+        )
     eps = cfg.epsilon / 255.0
     noise_c = bound_clip(noise, -eps, eps)
     if cfg.debug_model:
@@ -70,6 +87,8 @@ def _attack_loss(apply_fn, x, output_s, noise, cfg: RDAttackConfig):
             from ..defenses.self_ensemble import random_resize
 
             x_ = apply_fn(random_resize(im_in)[0], quant_mode="none")["x_hat"]
+        elif cfg.defend_in_loop == "clip":
+            x_ = clip_fn(im_in)
         else:
             x_ = apply_fn(im_in, quant_mode="none")["x_hat"]
         output_ = bound_clip(x_, 0.0, 1.0) if cfg.clamp else x_
@@ -87,13 +106,15 @@ def make_attack_fn(
     module,
     cfg: RDAttackConfig,
     defend_fn_builder: Optional[Callable] = None,
+    latent_transform: Optional[Callable] = None,
 ) -> Callable[..., Dict[str, Any]]:
     """Build the jitted end-to-end attack: (params, x, key) -> results.
 
     ``x`` is a single NHWC image batch of size 1 (vmap/batching wrappers sit
     on top).  ``defend_fn_builder(apply_fn)`` optionally supplies the defense
     used during evaluation (adaptive in-loop defenses hook into the defense
-    module's own attack builder).
+    module's own attack builder).  ``latent_transform`` (y -> y') is the
+    profiled latent clamp for ``defend_in_loop='clip'`` adaptive attacks.
     """
     lrs = jnp.asarray(multistep_lr_schedule(cfg.steps, cfg.lr, cfg.lr_milgamma))
     opt = adam_on_noise()
@@ -135,7 +156,19 @@ def make_attack_fn(
             af = lambda im, quant_mode: module.apply(
                 {"params": params_}, im, quant_mode=quant_mode
             )
-            return _attack_loss(af, x_, output_s_, n, cfg)
+            cf = None
+            if latent_transform is not None:
+
+                def cf(im):
+                    y = module.apply({"params": params_}, im, method=module.g_a)
+                    return module.apply(
+                        {"params": params_},
+                        latent_transform(y),
+                        "none",
+                        method=module.from_latent,
+                    )["x_hat"]
+
+            return _attack_loss(af, x_, output_s_, n, cfg, clip_fn=cf)
 
         loss_fn = remat_transform(cfg)(loss_fn)
         grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)

@@ -28,6 +28,7 @@ def run(cfg) -> dict:
         clamp=cfg.clamp,
         defend_in_loop=cfg.method if (cfg.adv and cfg.defend) else None,
     )
+    latent_transform = None
     if cfg.defend and cfg.method == "clip":
         # latent rank/dead-channel clamp (ref `self_ensemble.py:133-154`):
         # needs the profile + codec decomposition, not just the forward fn
@@ -37,18 +38,25 @@ def run(cfg) -> dict:
         from ..defenses import clip_dead_channel, load_range_profile, make_latent_defend_fn
 
         prof_file = cfg.profile or profile_path(cfg.model, cfg.metric, cfg.quality)
-        prof = load_range_profile(prof_file)
+        prof = load_range_profile(prof_file, require=("dead", "ranks_min"))
         transform = partial(
             clip_dead_channel, dead=prof["dead"], ranks_min=prof["ranks_min"]
         )
         defend_builder = lambda apply_fn: make_latent_defend_fn(
             module, params, transform
         )
+        if att_cfg.defend_in_loop == "clip":
+            # adaptive: the attack optimizes THROUGH the latent clamp
+            latent_transform = transform
     elif cfg.defend:
         defend_builder = lambda apply_fn: make_defend_fn(apply_fn, cfg.method)
     else:
         defend_builder = None
-    attack = make_attack_fn(module, att_cfg, defend_fn_builder=defend_builder)
+    attack = make_attack_fn(
+        module, att_cfg,
+        defend_fn_builder=defend_builder,
+        latent_transform=latent_transform,
+    )
 
     def per_image(im, idx):
         return attack(params, im)

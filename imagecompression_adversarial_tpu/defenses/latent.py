@@ -109,13 +109,25 @@ def make_latent_defend_fn(module, params, transform) -> "callable":
     return defend
 
 
-def load_range_profile(path: str) -> Dict[str, np.ndarray]:
-    """Load a feature-range profile saved by `analysis.feature_range`."""
+def load_range_profile(path: str, require=()) -> Dict[str, np.ndarray]:
+    """Load a feature-range profile saved by `analysis.feature_range`.
+
+    ``require`` names keys the caller depends on (e.g. ``('dead',
+    'ranks_min')`` for the clip defense); an old range-only profile then
+    fails with a re-profile hint instead of a bare KeyError downstream.
+    """
     data = np.load(path)
     out = {"channel_max": data["channel_max"], "channel_min": data["channel_min"]}
     for key in ("dead", "ranks_min", "ranks_max"):
         if key in data:
             out[key] = data[key]
+    missing = [k for k in require if k not in out]
+    if missing:
+        raise ValueError(
+            f"range profile {path!r} lacks {missing} (old range-only "
+            "format?) — re-run `python -m imagecompression_adversarial_tpu."
+            "cli.feature_range` to regenerate it with dead/rank statistics"
+        )
     return out
 
 

@@ -7,8 +7,11 @@ C++ rANS coder on host; synthesis runs back on TPU.
 
 Supported: every entropy structure in the framework — factorized, scale
 hyperprior, mean-scale, the autoregressive context families (mbt2018 /
-cheng2020, wavefront-parallel host loop), and cheng2020-gmm (per-pixel
-mixture CDFs built on the fly; `entropy/autoregressive.py`).
+cheng2020, wavefront-parallel host loop), cheng2020-gmm (per-pixel
+mixture CDFs built on the fly; `entropy/autoregressive.py`), and fic's
+4-phase checkerboard context (``context4``: one TPU context pass to
+encode, four to decode — the parallel-decode payoff `models/fic.py`
+promises).
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ class RealCodec:
 
     SUPPORTED = (
         "factorized", "scale_hyper", "mean_scale", "context", "context_gmm",
+        "context4",
     )
 
     def __init__(self, module, params):
@@ -53,6 +57,7 @@ class RealCodec:
         self.is_meanscale = structure == "mean_scale"
         self.is_gmm = structure == "context_gmm"
         self.is_context = structure == "context" or self.is_gmm
+        self.is_context4 = structure == "context4"
 
         self.eb_tables = build_eb_tables(params["entropy_bottleneck"])
         if not self.is_factorized:
@@ -60,6 +65,17 @@ class RealCodec:
         if self.is_context:
             self.ar_weights = ARWeights(
                 params, gmm_k=getattr(module, "K", 0) if self.is_gmm else 0
+            )
+        if self.is_context4:
+            # the checkerboard context runs as a full TPU conv pass; phase-k
+            # outputs depend only on phases < k (masked), so the SAME jitted
+            # program serves the encoder's single full-canvas call and the
+            # decoder's four progressive calls bit-exactly
+            self._context = jax.jit(
+                lambda y_hat, hf: module.apply(
+                    {"params": params}, y_hat, hf,
+                    method=lambda m, a, b: m.context(a, b),
+                )
             )
 
         self._g_a = jax.jit(
@@ -111,6 +127,91 @@ class RealCodec:
         medians = t["medians"].reshape(1, 1, 1, c)
         return symbols.reshape(shape).astype(np.float32) + medians
 
+    # ----------------------------------------------------- context4 (fic)
+
+    @staticmethod
+    def _checkerboard_phases(h: int, w: int):
+        """Per-phase (ii, jj) index arrays in fic's decode order
+        (models/fic.py::_phase_masks): (0,0) -> (1,1) -> (0,1) -> (1,0)."""
+        ii, jj = np.mgrid[0:h, 0:w]
+        return [
+            np.nonzero((ii % 2 == a) & (jj % 2 == b))
+            for a, b in ((0, 0), (1, 1), (0, 1), (1, 0))
+        ]
+
+    @staticmethod
+    def _gauss_cdf_rows(scales: np.ndarray, means: np.ndarray):
+        """Per-symbol CDF rows for arbitrary-mean single Gaussians (fic codes
+        means-free-rounded symbols, so the fractional mean shift lives in the
+        CDF row, like the GMM path)."""
+        from .tables import build_gmm_cdf_rows
+
+        zeros = np.zeros_like(scales)
+        return build_gmm_cdf_rows(
+            scales[..., None], means[..., None], zeros[..., None]
+        )
+
+    def _context4_encode(self, y: np.ndarray, hyper_feats) -> bytes:
+        """One full context pass; phase masking guarantees the params match
+        the decoder's progressive passes bitwise (`models/fic.py:20-28`)."""
+        y_q = np.round(y).astype(np.float32)
+        scales, means = (
+            np.asarray(a) for a in self._context(jnp.asarray(y_q), hyper_feats)
+        )
+        h, w = y.shape[1:3]
+        symbols, rows, sizes, offs = [], [], [], []
+        for iis, jjs in self._checkerboard_phases(h, w):
+            sc, mu = scales[0, iis, jjs], means[0, iis, jjs]
+            r, s, o = self._gauss_cdf_rows(sc.ravel(), mu.ravel())
+            symbols.append(y_q[0, iis, jjs].astype(np.int32).ravel())
+            rows.append(r)
+            sizes.append(s)
+            offs.append(o)
+        symbols_flat = np.concatenate(symbols)
+        stride = max(r.shape[1] for r in rows)
+        cdfs = np.zeros((symbols_flat.size, stride), np.uint32)
+        pos = 0
+        for r in rows:
+            n, s = r.shape
+            cdfs[pos : pos + n, :s] = r
+            if s < stride:
+                cdfs[pos : pos + n, s:] = r[:, -1:]
+            pos += n
+        return rans.encode_with_indexes(
+            symbols_flat,
+            np.arange(symbols_flat.size, dtype=np.int32),
+            cdfs,
+            np.concatenate(sizes),
+            np.concatenate(offs),
+        )
+
+    def _context4_decode(self, string: bytes, hyper_feats, h: int, w: int,
+                         m: int) -> np.ndarray:
+        """Four progressive context passes — the parallel-decode payoff of
+        the checkerboard design (vs H*W sequential steps for a raster AR
+        model)."""
+        canvas = np.zeros((1, h, w, m), np.float32)
+        dec = None
+        try:
+            for iis, jjs in self._checkerboard_phases(h, w):
+                scales, means = (
+                    np.asarray(a)
+                    for a in self._context(jnp.asarray(canvas), hyper_feats)
+                )
+                sc, mu = scales[0, iis, jjs], means[0, iis, jjs]
+                rows, sizes, offs = self._gauss_cdf_rows(sc.ravel(), mu.ravel())
+                idx = np.arange(sizes.size, dtype=np.int32)
+                if dec is None:
+                    dec = rans.StreamingDecoder(string, rows, sizes, offs)
+                    sym = dec.decode(idx)
+                else:
+                    sym = dec.decode(idx, cdfs=rows, cdf_sizes=sizes, offsets=offs)
+                canvas[0, iis, jjs] = sym.reshape(-1, m).astype(np.float32)
+        finally:
+            if dec is not None:
+                dec.close()
+        return canvas
+
     # ------------------------------------------------------------ public
 
     def compress(self, x) -> Dict:
@@ -131,6 +232,11 @@ class RealCodec:
                 y_string = ar_encode(
                     y[0], hyper_params[0], self.ar_weights, self.gc_tables
                 )
+            return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
+
+        if self.is_context4:
+            hyper_feats = self._h_s(jnp.asarray(z_hat))
+            y_string = self._context4_encode(y, hyper_feats)
             return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
 
         gp = np.asarray(self._h_s(jnp.asarray(z_hat)))
@@ -170,6 +276,15 @@ class RealCodec:
                 y_hat = ar_decode(
                     y_string, hyper_params[0], self.ar_weights, self.gc_tables
                 )[None]
+            x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
+            return np.clip(x_hat, 0.0, 1.0)
+
+        if self.is_context4:
+            hyper_feats = self._h_s(jnp.asarray(z_hat))
+            hy, wy = hyper_feats.shape[1:3]
+            y_hat = self._context4_decode(
+                y_string, hyper_feats, hy, wy, self.module.M
+            )
             x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
             return np.clip(x_hat, 0.0, 1.0)
 

@@ -21,8 +21,11 @@ TPU-first re-design of Context4: instead of a pixel-sequential masked conv,
 the latent is split into 4 checkerboard phases of a 2x2 cell.  Phase k is
 conditioned on the hyper features plus the (spatially masked) union of
 phases < k — so estimation is 4 parallel conv stacks in ONE forward pass
-(no sequential scan), and a real decoder would need only 4 passes rather
-than H*W.  This is the published "parallel context" trick re-expressed in
+(no sequential scan), and the real decoder needs only 4 passes rather
+than H*W (implemented: `entropy/codec.py` ``context4`` branch — one-pass
+encode, 4-pass decode, bit-exact round-trip tested in
+`tests/test_autoregressive.py`).  This is the published "parallel
+context" trick re-expressed in
 XLA-friendly form; estimation-path rate parity with a sequential context
 model is preserved because each symbol still conditions only on
 already-decoded symbols.

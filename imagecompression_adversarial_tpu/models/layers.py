@@ -166,9 +166,10 @@ class GDN(nn.Module):
         if impl == "pallas":
             from ..ops.pallas_gdn import gdn_fused
 
-            # interpret only on the host backend; the axon relay reports
-            # backend "axon" for the real chip
-            interpret = jax.default_backend() == "cpu"
+            # the Pallas kernel is TPU-specific: compile natively only on a
+            # TPU-class backend (the axon relay reports backend "axon" for
+            # the real chip), interpret everywhere else (cpu, gpu, ...)
+            interpret = jax.default_backend() not in ("tpu", "axon")
             return gdn_fused(
                 x, gamma.astype(x.dtype), beta.astype(x.dtype),
                 self.inverse, interpret,

@@ -77,6 +77,9 @@ _SLOW_TESTS = {
     "test_row_sharded_attack_matches_single_device",
     "test_batch_attack_vmap_matches_single",
     "test_best_of_restarts_picks_max_vi",
+    "test_realcodec_context4_roundtrip",
+    "test_parity_harness_self_test",
+    "test_adaptive_clip_attack_in_loop",
 }
 
 

@@ -156,3 +156,50 @@ def test_gmm_cdf_rows_match_scalar_quantizer():
     assert (np.take_along_axis(rows, (sizes[:, None]).astype(np.int64), 1)
             == (1 << 16)).all()
     assert (np.diff(rows.astype(np.int64), axis=1) >= 0).all()
+
+
+def test_realcodec_context4_roundtrip():
+    """fic real bitstream (VERDICT r2 missing #3 / next #4): one-pass encode,
+    4-pass checkerboard decode, bit-exact latent round-trip."""
+    import jax.numpy as jnp
+
+    from imagecompression_adversarial_tpu.entropy.codec import RealCodec
+
+    module = init_model("fic", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    codec = RealCodec(module, params)
+    x = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)), np.float32
+    )
+    out = codec.compress(x)
+    assert len(out["strings"]) == 2 and len(out["strings"][0]) > 0
+    x_hat = codec.decompress(out["strings"], out["shape"])
+    assert x_hat.shape == x.shape
+    assert np.isfinite(x_hat).all()
+
+    # bit-exactness: the decoded reconstruction must equal g_s(round(y))
+    # computed directly on the encoder side
+    y = np.asarray(codec._g_a(jnp.asarray(x)))
+    x_direct = np.clip(
+        np.asarray(codec._g_s(jnp.asarray(np.round(y).astype(np.float32)))),
+        0.0, 1.0,
+    )
+    np.testing.assert_array_equal(x_hat, x_direct)
+
+
+def test_context4_phase_schedule_matches_masks():
+    """RealCodec's phase index lists and fic's _phase_masks agree in order
+    and coverage."""
+    from imagecompression_adversarial_tpu.entropy.codec import RealCodec
+    from imagecompression_adversarial_tpu.models.fic import _phase_masks
+
+    h, w = 6, 10
+    masks = np.asarray(_phase_masks(h, w, np.float32))[..., 0]  # (4, H, W)
+    seen = np.zeros((h, w), bool)
+    for k, (iis, jjs) in enumerate(RealCodec._checkerboard_phases(h, w)):
+        m = np.zeros((h, w), bool)
+        m[iis, jjs] = True
+        np.testing.assert_array_equal(m, masks[k] > 0)
+        assert not (seen & m).any()
+        seen |= m
+    assert seen.all()

@@ -114,3 +114,75 @@ def test_from_latent_matches_full_forward():
         np.testing.assert_allclose(
             np.asarray(full["x_hat"]), np.asarray(part["x_hat"]), atol=1e-6
         )
+
+
+def test_adaptive_clip_attack_in_loop():
+    """defend_in_loop='clip' routes the output phase through the latent
+    clamp (ADVICE r2: previously fell through to the undefended forward)."""
+    import pytest
+
+    from imagecompression_adversarial_tpu.attacks import (
+        RDAttackConfig,
+        make_attack_fn,
+    )
+
+    module = init_model("debug", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    C = module.apply({"params": params}, x, method="g_a").shape[-1]
+
+    from functools import partial
+
+    dead = np.ones(C, bool)  # clamp every channel hard so the path matters
+    transform = partial(
+        clip_dead_channel,
+        dead=dead,
+        ranks_min=np.zeros(C, np.int64),
+        dead_bound=0.05,
+    )
+    cfg = RDAttackConfig(steps=4, defend_in_loop="clip", debug_model=True)
+    attack = make_attack_fn(module, cfg, latent_transform=transform)
+    key = jax.random.PRNGKey(5)
+    res = attack(params, x, key)
+    assert np.isfinite(float(res["vi"]))
+
+    # same config, undefended loop: different delivered noise proves the
+    # clip branch is live inside the loss
+    cfg_plain = RDAttackConfig(steps=4, debug_model=True)
+    res_plain = make_attack_fn(module, cfg_plain)(params, x, key)
+    assert float(jnp.max(jnp.abs(res["im_"] - res_plain["im_"]))) > 1e-7
+
+    # missing transform -> clear error, not a silent fall-through
+    with pytest.raises(ValueError, match="latent_transform"):
+        make_attack_fn(module, cfg)(params, x, key)
+
+
+def test_unknown_defend_in_loop_raises():
+    import pytest
+
+    from imagecompression_adversarial_tpu.attacks import (
+        RDAttackConfig,
+        make_attack_fn,
+    )
+
+    module = init_model("debug", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    cfg = RDAttackConfig(steps=2, defend_in_loop="typo")
+    with pytest.raises(ValueError, match="defend_in_loop"):
+        make_attack_fn(module, cfg)(params, x)
+
+
+def test_load_range_profile_require_keys(tmp_path):
+    import pytest
+
+    from imagecompression_adversarial_tpu.defenses import load_range_profile
+
+    p = tmp_path / "old_profile.npz"
+    np.savez(p, channel_max=np.ones(4), channel_min=-np.ones(4))
+    # range-only load still works
+    prof = load_range_profile(str(p))
+    assert "channel_max" in prof
+    # clip-path load fails with the re-profile hint
+    with pytest.raises(ValueError, match="dead"):
+        load_range_profile(str(p), require=("dead", "ranks_min"))
