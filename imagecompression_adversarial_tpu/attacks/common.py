@@ -34,7 +34,13 @@ class RDAttackConfig:
     debug_model: bool = False  # reference 'debug' arch skips [0,1] clamp
     # adaptive attack: optimize THROUGH the defense (ref
     # `self_ensemble.py:254-274` with --adv)
-    defend_in_loop: Optional[str] = None  # None | 'ensemble' | 'resize' | 'bitdepth'
+    defend_in_loop: Optional[str] = None  # None|'ensemble'|'resize'|'bitdepth'|'clip'
+    # how the in-loop ensemble evaluates its 8 dihedral variants:
+    # 'scan' = sequential per-variant checkpointed forwards (one variant's
+    # activations live at a time — survives full-Kodak adaptive attacks that
+    # fault libtpu with the 8-wide remat'd batch backward, round-2 RESULTS);
+    # 'batch' = two 4-variant batched forwards (round-2 behaviour)
+    ensemble_impl: str = "scan"
     # reflect-pad the clean forward by this many pixels, cropping the
     # reference output back (ref `-p` flag, `attack_rd.py:390-417`)
     pad: Optional[int] = None

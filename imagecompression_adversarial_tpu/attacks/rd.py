@@ -78,7 +78,9 @@ def _attack_loss(apply_fn, x, output_s, noise, cfg: RDAttackConfig, clip_fn=None
         if cfg.defend_in_loop == "ensemble":
             from ..defenses.self_ensemble import self_ensemble
 
-            x_ = self_ensemble(apply_fn, im_in, quant_mode="none")["x_hat"]
+            x_ = self_ensemble(
+                apply_fn, im_in, quant_mode="none", impl=cfg.ensemble_impl
+            )["x_hat"]
         elif cfg.defend_in_loop == "bitdepth":
             from ..defenses.self_ensemble import bitdepth_reduction
 

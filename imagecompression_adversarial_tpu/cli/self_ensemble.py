@@ -27,6 +27,7 @@ def run(cfg) -> dict:
         epsilon=cfg.epsilon,
         clamp=cfg.clamp,
         defend_in_loop=cfg.method if (cfg.adv and cfg.defend) else None,
+        ensemble_impl=cfg.ensemble_impl,
     )
     latent_transform = None
     if cfg.defend and cfg.method == "clip":

@@ -58,6 +58,9 @@ class Config:
     # defense
     defend: bool = False
     method: str = "ensemble"
+    # in-loop ensemble evaluation for --adv: 'scan' (sequential per-variant,
+    # full-resolution-safe) or 'batch' (two 4-variant batches)
+    ensemble_impl: str = "scan"
     profile: Optional[str] = None  # latent range/rank profile (.npz) for clip
     degrade: Optional[str] = None
     finetune: bool = False
@@ -124,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--defend", action="store_true")
     p.add_argument("--defend_m", dest="method", type=str, default=d.method,
                    help="ensemble|resize|bitdepth|clip")
+    p.add_argument("-ensemble_impl", dest="ensemble_impl", type=str,
+                   default=d.ensemble_impl, choices=["scan", "batch"],
+                   help="adaptive in-loop ensemble: sequential scan "
+                        "(footprint-safe) or 4-wide batches")
     p.add_argument("-profile", dest="profile", type=str, default=d.profile,
                    help="latent range/rank profile .npz (for --defend_m clip; "
                         "defaults to the feature_range naming scheme)")

@@ -79,34 +79,63 @@ def self_ensemble(
     apply_fn: Callable,
     x: jax.Array,
     quant_mode: str = "dequantize",
+    impl: str = "batch",
 ) -> Dict[str, jax.Array]:
     """Geometric self-ensemble defense.
 
-    Runs the codec on both 4-variant batches, un-transforms every
+    Runs the codec on all 8 dihedral variants, un-transforms every
     reconstruction, and selects the min-MSE variant.  Returns
     {x_hat, bpp, best_idx, best_mse}; ``x_hat`` is clamped to [0,1]
     (ref returns the clamped un-transformed winner,
     `self_ensemble.py:131`).
+
+    ``impl`` selects how the 8 variants are evaluated:
+      * ``'batch'`` — two 4-variant batched forwards (the vmapped
+        re-design, fastest when activations fit);
+      * ``'scan'``  — a `lax.scan` over single-variant forwards, each
+        step `jax.checkpoint`'d.  Differentiating through the defense then
+        holds ONE variant's activations at a time instead of an 8-wide
+        rematerialized batch backward — the footprint fix for the
+        adaptive attack at full Kodak resolution (round-2 libtpu fault:
+        RESULTS.md "Adaptive attack-through-defense").
     """
     flips, rots = dihedral_forward(x)
-    res_f = apply_fn(flips, quant_mode=quant_mode)
-    res_r = apply_fn(rots, quant_mode=quant_mode)
+    num_pixels = x.shape[1] * x.shape[2]
+    log2 = jnp.log(2.0)
 
-    recon = dihedral_inverse_group(res_f["x_hat"], res_r["x_hat"])  # (8,H,W,C)
+    if impl == "scan":
+
+        def body(carry, v):
+            result = apply_fn(v[None], quant_mode=quant_mode)
+            total = 0.0
+            for lik in result["likelihoods"].values():
+                total = total + jnp.sum(jnp.log(lik))
+            return carry, (result["x_hat"][0], total / (-log2 * num_pixels))
+
+        body = jax.checkpoint(body, prevent_cse=False)
+        _, (xh_f, bpp_f) = jax.lax.scan(body, 0, flips)
+        _, (xh_r, bpp_r) = jax.lax.scan(body, 0, rots)
+        bpps = jnp.concatenate([bpp_f, bpp_r])
+        recon = dihedral_inverse_group(xh_f, xh_r)  # (8, H, W, C)
+    elif impl == "batch":
+        res_f = apply_fn(flips, quant_mode=quant_mode)
+        res_r = apply_fn(rots, quant_mode=quant_mode)
+
+        def variant_bpps(result):
+            total = 0.0
+            for lik in result["likelihoods"].values():
+                total = total + jnp.sum(
+                    jnp.log(lik), axis=tuple(range(1, lik.ndim))
+                )
+            return total / (-log2 * num_pixels)  # (4,)
+
+        bpps = jnp.concatenate([variant_bpps(res_f), variant_bpps(res_r)])
+        recon = dihedral_inverse_group(res_f["x_hat"], res_r["x_hat"])
+    else:
+        raise ValueError(f"impl={impl!r} not in ['batch', 'scan']")
+
     mses = jnp.mean((recon - x) ** 2, axis=(1, 2, 3))
     best = jnp.argmin(mses)
-
-    num_pixels = x.shape[1] * x.shape[2]
-
-    def variant_bpps(result):
-        total = 0.0
-        for lik in result["likelihoods"].values():
-            total = total + jnp.sum(
-                jnp.log(lik), axis=tuple(range(1, lik.ndim))
-            )
-        return total / (-jnp.log(2.0) * num_pixels)  # (4,)
-
-    bpps = jnp.concatenate([variant_bpps(res_f), variant_bpps(res_r)])
     x_hat = jnp.clip(recon[best][None], 0.0, 1.0)
     return {
         "x_hat": x_hat,

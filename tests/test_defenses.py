@@ -125,3 +125,52 @@ def test_draw_resize_scale_host_side_and_jittable():
     x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
     up = jax.jit(lambda v: random_resize(v, scale=s)[0])(x)
     assert up.shape == x.shape
+
+
+def test_self_ensemble_scan_matches_batch():
+    """The sequential per-variant impl (the full-Kodak adaptive-attack
+    footprint fix) must agree with the batched impl numerically."""
+    module = init_model("factorized", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    apply_fn = lambda im, quant_mode: module.apply(
+        {"params": params}, im, quant_mode=quant_mode
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 96, 3))
+    out_b = jax.jit(lambda x: self_ensemble(apply_fn, x, impl="batch"))(x)
+    out_s = jax.jit(lambda x: self_ensemble(apply_fn, x, impl="scan"))(x)
+    assert int(out_b["best_idx"]) == int(out_s["best_idx"])
+    np.testing.assert_allclose(
+        np.asarray(out_s["x_hat"]), np.asarray(out_b["x_hat"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(out_s["bpp"]), float(out_b["bpp"]), rtol=1e-5
+    )
+
+    # gradients flow through the scan impl on the quant-free path (what the
+    # adaptive attack differentiates; 'dequantize' rounds -> zero grad)
+    g = jax.grad(
+        lambda x: jnp.sum(
+            self_ensemble(apply_fn, x, quant_mode="none", impl="scan")["x_hat"]
+        )
+    )(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        self_ensemble(apply_fn, x, impl="typo")
+
+
+def test_adaptive_ensemble_scan_attack_runs():
+    """defend_in_loop='ensemble' with the scan impl end-to-end (tiny)."""
+    from imagecompression_adversarial_tpu.attacks import (
+        RDAttackConfig,
+        make_attack_fn,
+    )
+
+    module = init_model("factorized", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    cfg = RDAttackConfig(steps=3, defend_in_loop="ensemble", ensemble_impl="scan")
+    res = make_attack_fn(module, cfg)(params, x)
+    assert np.isfinite(float(res["vi"]))
