@@ -80,11 +80,41 @@ class Conv(nn.Module):
 
 class Deconv(nn.Module):
     """Transposed conv == PyTorch ConvTranspose2d(k, s, padding=k//2,
-    output_padding=s-1): input dilation s, flipped kernel, asymmetric pad."""
+    output_padding=s-1): input dilation s, flipped kernel, asymmetric pad.
+
+    ``subpel`` selects an exactly-equivalent subpixel evaluation: one
+    stride-1 conv emitting ``s*s*features`` channels at INPUT resolution
+    followed by depth-to-space (same "kernel" parameter, taps regrouped by
+    output phase at apply time — checkpoints are unaffected).  Motivation:
+    XLA's conv-transpose backward materializes the full-resolution cotangent
+    in a channel-padded layout; for the final 3-channel synthesis deconv
+    that padding is ~21x (3.02 GB at 12.6 MP — the round-2 OOM margin,
+    RESULTS.md "Megapixel attack envelope").  The subpixel form keeps every
+    conv buffer at half resolution with 4x channels (12 for the final
+    stage), shrinking the padded waste by ~4x and removing the full-res
+    tensor from the conv backward entirely.  ``subpel=None`` defers to the
+    ``ICAT_SUBPEL_DECONV`` env var: '' /'0' = never, 'final' = only narrow
+    (<=4-channel) outputs, 'all' = every stride-2 k5 deconv.
+    """
 
     features: int
     kernel_size: int = 5
     stride: int = 2
+    subpel: bool | None = None
+
+    def _use_subpel(self) -> bool:
+        if self.kernel_size != 5 or self.stride != 2:
+            return False
+        if self.subpel is not None:
+            return self.subpel
+        import os
+
+        mode = os.environ.get("ICAT_SUBPEL_DECONV", "")
+        if mode == "all":
+            return True
+        if mode == "final":
+            return self.features <= 4
+        return False
 
     @nn.compact
     def __call__(self, x):
@@ -100,6 +130,8 @@ class Deconv(nn.Module):
             (k, k, in_ch, self.features),
         )
         bias = self.param("bias", _torch_bias_init(k * k * self.features), (self.features,))
+        if self._use_subpel():
+            return self._subpel_forward(x, kernel, bias)
         pad = k // 2
         out_pad = s - 1
         # ConvTranspose = dilate input by s, pad by (k-1-pad) each side plus
@@ -118,6 +150,44 @@ class Deconv(nn.Module):
             lhs_dilation=(s, s),
             dimension_numbers=dn,
         )
+        return y + bias.astype(x.dtype)
+
+    def _subpel_forward(self, x, kernel, bias):
+        """Exact phase decomposition of ConvTranspose2d(5, 2, 2, out_pad=1).
+
+        Output pixel o = 2i + k - 2 (torch tap index k in 0..4), so the even
+        output phase collects taps {4, 2, 0} of a 3-tap stride-1 conv over
+        the input and the odd phase taps {-, 3, 1}; rows and columns factor
+        independently.  One (3, 3, in, 4*out) conv + depth-to-space — no
+        input dilation, no full-resolution conv buffers.
+        """
+        f = self.features
+
+        row0 = kernel[jnp.array([4, 2, 0])]  # (3, 5, in, out): even phase
+        row1 = jnp.concatenate(
+            [jnp.zeros_like(kernel[0:1]), kernel[jnp.array([3, 1])]], axis=0
+        )  # odd phase
+
+        def cols(kr, b):
+            if b == 0:
+                return kr[:, jnp.array([4, 2, 0])]
+            return jnp.concatenate(
+                [jnp.zeros_like(kr[:, 0:1]), kr[:, jnp.array([3, 1])]], axis=1
+            )
+
+        w = jnp.concatenate(
+            [cols(row0 if a == 0 else row1, b) for a in (0, 1) for b in (0, 1)],
+            axis=-1,
+        ).astype(x.dtype)  # (3, 3, in, 4*out), phase-major channel order
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+        )  # (n, h, w, 4*out)
+        n, hm, wm, _ = y.shape
+        y = y.reshape(n, hm, wm, 2, 2, f)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * hm, 2 * wm, f)
         return y + bias.astype(x.dtype)
 
 

@@ -37,11 +37,27 @@ def load_model(cfg: Config, seed: int = 0) -> Tuple[CodecModel, Dict[str, Any]]:
             params = _merge_strict(params, converted, cfg.checkpoint)
         else:
             with open(cfg.checkpoint, "rb") as f:
-                params = flax.serialization.from_bytes(params, f.read())
+                loaded = flax.serialization.from_bytes(params, f.read())
+            # msgpack demo ckpts may be stored float16 (half the repo
+            # footprint, ADVICE r2); compute always runs at the template
+            # dtype
+            import jax.numpy as jnp
+
+            params = jax.tree_util.tree_map(
+                lambda t, l: jnp.asarray(l, t.dtype), params, loaded
+            )
     return module, params
 
 
-def save_params(params: Dict[str, Any], path: str) -> None:
+def save_params(params: Dict[str, Any], path: str, dtype=None) -> None:
+    """Serialize a parameter tree; ``dtype`` (e.g. ``jnp.float16``)
+    downcasts for storage — `load_model` restores the model dtype."""
+    if dtype is not None:
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), params
+        )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(params))

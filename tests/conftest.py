@@ -80,6 +80,21 @@ _SLOW_TESTS = {
     "test_realcodec_context4_roundtrip",
     "test_parity_harness_self_test",
     "test_adaptive_clip_attack_in_loop",
+    # round-3 re-profile (--durations under TPU-load, 1-vCPU): every test
+    # >30s moves to the slow tier so `-m "not slow"` stays an actionable
+    # <8-min path; the full suite still runs them
+    "test_sharded_attack_matches_single_device",
+    "test_multichip_dryrun_8_devices",
+    "test_sharded_attack_pads_ragged_batch",
+    "test_gan_train_step_runs",
+    "test_invcompress_forward_and_attack",
+    "test_hific_forward_and_attack",
+    "test_golden_ensemble_defense_helps_augmented_model",
+    "test_invcomp_is_exactly_invertible",
+    "test_train_resume_continues_steps",
+    "test_realcodec_gmm_roundtrip",
+    "test_golden_attack_amplifies_error",
+    "test_train_loop_runs_and_checkpoints",
 }
 
 

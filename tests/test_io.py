@@ -78,3 +78,29 @@ def test_config_defaults_match_reference():
     assert cfg.noise == 0.0001 and cfg.epsilon == 16.0
     assert cfg.model == "hyper" and cfg.metric == "ms-ssim" and cfg.quality == 3
     assert cfg.clamp is True and cfg.lamb_attack == 0.2
+
+
+def test_fp16_msgpack_checkpoint_roundtrip(tmp_path):
+    """Demo ckpts may be stored float16 (ADVICE r2); load_model must restore
+    the compute dtype and values within half precision."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from imagecompression_adversarial_tpu.config import Config
+    from imagecompression_adversarial_tpu.models import init_model, init_params
+    from imagecompression_adversarial_tpu.runtime import load_model, save_params
+
+    module = init_model("debug", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    path = str(tmp_path / "demo.msgpack")
+    save_params(params, path, dtype=jnp.float16)
+
+    cfg = Config(model="debug", quality=1, checkpoint=path)
+    _, loaded = load_model(cfg)
+    leaves = jax.tree_util.tree_leaves(loaded)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    orig = jax.tree_util.tree_leaves(params)
+    for a, b in zip(orig, leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)

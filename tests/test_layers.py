@@ -183,3 +183,35 @@ def test_linear_gdn_matches_reference_math():
     np.testing.assert_allclose(np.asarray(out), ref_fwd, rtol=1e-4, atol=1e-5)
     out_inv = LinearGDN(inverse=True).apply({"params": params}, jnp.array(x))
     np.testing.assert_allclose(np.asarray(out_inv), ref_inv, rtol=1e-4, atol=1e-5)
+
+
+def test_deconv_subpel_matches_standard():
+    """The subpixel phase decomposition is the SAME linear map as the
+    dilated-conv transposed conv (and as torch ConvTranspose2d)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagecompression_adversarial_tpu.models.layers import Deconv
+
+    for in_ch, out_ch, h, w in ((8, 3, 10, 14), (6, 5, 9, 7)):
+        std = Deconv(out_ch, subpel=False)
+        sub = Deconv(out_ch, subpel=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, h, w, in_ch))
+        params = std.init(jax.random.PRNGKey(1), x)["params"]
+        y_std = std.apply({"params": params}, x)
+        y_sub = sub.apply({"params": params}, x)
+        assert y_sub.shape == y_std.shape == (2, 2 * h, 2 * w, out_ch)
+        np.testing.assert_allclose(
+            np.asarray(y_sub), np.asarray(y_std), rtol=1e-5, atol=1e-5
+        )
+
+    # gradients agree too (the backward is what the layout fix targets)
+    std3 = Deconv(3, subpel=False)
+    sub3 = Deconv(3, subpel=True)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 6))
+    params = std3.init(jax.random.PRNGKey(3), x)["params"]
+    g_std = jax.grad(lambda x: jnp.sum(std3.apply({"params": params}, x) ** 2))(x)
+    g_sub = jax.grad(lambda x: jnp.sum(sub3.apply({"params": params}, x) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_sub), np.asarray(g_std), rtol=1e-4, atol=1e-5
+    )
