@@ -57,6 +57,13 @@ class RDAttackConfig:
     # lax.scan unroll factor for the attack loop (compile time scales with
     # it; >1 measured within noise of 1 on the full attack)
     scan_unroll: int = 1
+    # evaluate the output-distortion loss in PHASE SPACE (the final deconv's
+    # subpixel form, no depth-to-space): MSE is invariant under the d2s
+    # permutation, and the hot loop then never materializes a
+    # full-resolution 3-channel tensor — whose conv-backward layout pads
+    # 21-64x on TPU (the 12.6 MP OOM, RESULTS.md round 3).  L2 att_metric
+    # + no in-loop defense only; requires the codec to provide g_s_phase.
+    phase_space_loss: bool = False
 
 
 def remat_transform(cfg: "RDAttackConfig"):

@@ -40,13 +40,22 @@ from .evaluate import evaluate
 _DEFEND_IN_LOOP = (None, "ensemble", "bitdepth", "resize", "clip")
 
 
-def _attack_loss(apply_fn, x, output_s, noise, cfg: RDAttackConfig, clip_fn=None):
+def _attack_loss(
+    apply_fn, x, output_s, noise, cfg: RDAttackConfig, clip_fn=None,
+    phase_fn=None,
+):
     """Two-phase RD attack loss (ref ``attack_our``, `attack_rd.py:332-379`).
 
     ``clip_fn`` (required when ``cfg.defend_in_loop == 'clip'``) maps the
     perturbed input straight through the latent-clamp defense
     (g_a -> clamp -> from_latent, quant-free) so the adaptive attack
     optimizes THROUGH the clamp (ref latent defenses `attack_rd.py:44-73`).
+
+    ``phase_fn`` (set iff ``cfg.phase_space_loss``) maps the perturbed input
+    to the quant-free synthesis in PHASE SPACE; ``output_s`` is then the
+    phase-space clean reference — the loss value (and hence the gradient
+    and the whole attack trajectory) is identical because MSE is invariant
+    under the depth-to-space permutation.
 
     Returns (loss, (loss_i, loss_o)).
     """
@@ -91,6 +100,8 @@ def _attack_loss(apply_fn, x, output_s, noise, cfg: RDAttackConfig, clip_fn=None
             x_ = apply_fn(random_resize(im_in)[0], quant_mode="none")["x_hat"]
         elif cfg.defend_in_loop == "clip":
             x_ = clip_fn(im_in)
+        elif phase_fn is not None:
+            x_ = phase_fn(im_in)
         else:
             x_ = apply_fn(im_in, quant_mode="none")["x_hat"]
         output_ = bound_clip(x_, 0.0, 1.0) if cfg.clamp else x_
@@ -146,6 +157,24 @@ def make_attack_fn(
         num_pixels = x.shape[1] * x.shape[2]
         bpp_ori = bpp_from_likelihoods(result_s["likelihoods"], num_pixels)
 
+        # phase-space loss: the clean reference for the scan loop is the
+        # phase-major synthesis of the SAME clean latent —
+        # depth_to_space(loss_ref) == output_s exactly, so the loss (and
+        # the attack trajectory) is unchanged while the hot loop carries
+        # no full-resolution 3-channel tensor (see RDAttackConfig)
+        if cfg.phase_space_loss:
+            if cfg.att_metric == "ms-ssim" or cfg.defend_in_loop or cfg.pad:
+                raise ValueError(
+                    "phase_space_loss supports the plain L2 attack only "
+                    "(no ms-ssim metric, in-loop defense, or -p padding)"
+                )
+            ref_ps = module.apply(
+                {"params": params}, result_s["y_hat"], method=module.g_s_phase
+            )
+            loss_ref = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
+        else:
+            loss_ref = output_s
+
         noise0 = init_noise(x.shape, cfg, key)
         opt_state0 = opt.init(noise0)
 
@@ -170,7 +199,18 @@ def make_attack_fn(
                         method=module.from_latent,
                     )["x_hat"]
 
-            return _attack_loss(af, x_, output_s_, n, cfg, clip_fn=cf)
+            pf = None
+            if cfg.phase_space_loss:
+
+                def pf(im):
+                    y = module.apply({"params": params_}, im, method=module.g_a)
+                    return module.apply(
+                        {"params": params_}, y, method=module.g_s_phase
+                    )
+
+            return _attack_loss(
+                af, x_, output_s_, n, cfg, clip_fn=cf, phase_fn=pf
+            )
 
         loss_fn = remat_transform(cfg)(loss_fn)
         grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
@@ -182,7 +222,7 @@ def make_attack_fn(
         # (measured 138 vs 190 steps/s; trace shows 3 vs 2 cond bodies).
         def step(carry, lr):
             noise, opt_state = carry
-            grads, _ = grad_fn(noise, params, x, output_s)
+            grads, _ = grad_fn(noise, params, x, loss_ref)
             updates, opt_state = opt.update(grads, opt_state)
             noise = noise + jax.tree_util.tree_map(lambda u: -lr * u, updates)
             return (noise, opt_state), None
@@ -192,7 +232,7 @@ def make_attack_fn(
         )
         # final losses evaluated ONCE on the delivered noise (the reference
         # prints per-milestone losses; the result API exposes the finals)
-        _, (loss_i_final, loss_o_final) = loss_fn(noise, params, x, output_s)
+        _, (loss_i_final, loss_o_final) = loss_fn(noise, params, x, loss_ref)
 
         eps = cfg.epsilon / 255.0
         noise_c = bound_clip(noise, -eps, eps)

@@ -24,7 +24,7 @@ from ..io.image import list_images, read_image
 from ..runtime import load_model
 
 
-def run(cfg, source2=None, cross_model=False) -> np.ndarray:
+def run(cfg, source2=None, cross_model=False, cross_specs=None) -> np.ndarray:
     apply_precision(cfg)
 
     att_kwargs = dict(
@@ -33,17 +33,26 @@ def run(cfg, source2=None, cross_model=False) -> np.ndarray:
     )
 
     if cross_model:
-        archs = ["factorized", "hyper", "context", "cheng2020"]
-        attacks, evals = [], []
-        for arch in archs:
-            c = dataclasses.replace(cfg, model=arch,
-                                    quality=min(cfg.quality, 6))
+        if cross_specs:
+            # trained-checkpoint matrix: 'arch:quality:ckpt' entries
+            specs = []
+            for entry in cross_specs.split(","):
+                arch, q, ck = entry.split(":", 2)
+                specs.append((arch, int(q), ck or None))
+        else:
+            specs = [(a, min(cfg.quality, 6), cfg.checkpoint)
+                     for a in ("factorized", "hyper", "context", "cheng2020")]
+        attacks, evals, labels = [], [], []
+        for arch, q, ck in specs:
+            c = dataclasses.replace(cfg, model=arch, quality=q, checkpoint=ck)
             module, params = load_model(c)
             attacks.append((make_attack_fn(module, RDAttackConfig(**att_kwargs)), params))
             evals.append((make_transfer_eval_fn(module), params))
+            labels.append(f"{arch}-q{q}")
         images = [read_image(f)[0] for f in list_images(cfg.source)]
         matrix = cross_model_matrix(attacks, evals, images)
         print("cross-model transfer matrix (rows: attacked, cols: evaluated):")
+        print("models:", " ".join(labels))
         print(np.round(matrix, 2))
         plot_matrix(matrix, "transfer_cross_model.pdf")
         return matrix
@@ -66,9 +75,13 @@ def main(argv=None):
     parser = build_parser()
     parser.add_argument("-s2", "--source2", type=str, default=None)
     parser.add_argument("--cross-model", dest="cross_model", action="store_true")
+    parser.add_argument("-cross", dest="cross_specs", type=str, default=None,
+                        help="comma-separated arch:quality:ckpt entries for a "
+                             "trained-checkpoint cross-model matrix")
     ns = parser.parse_args(argv)
     cfg = Config(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)})
-    run(cfg, source2=ns.source2, cross_model=ns.cross_model)
+    run(cfg, source2=ns.source2, cross_model=ns.cross_model,
+        cross_specs=ns.cross_specs)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,28 @@ class CodecModel(nn.Module):
     def decode(self, y):
         return self.g_s(y)
 
+    def g_s_phase(self, y):
+        """Synthesis ending in PHASE SPACE: (n, H/2, W/2, 12) with the final
+        deconv in its subpixel form, no depth-to-space.
+        ``depth_to_space(g_s_phase(y)) == g_s(y)`` exactly.
+
+        Rationale (TPU layout): the full-resolution 3-channel output tensor
+        is laid out channel-padded by XLA in conv backwards (21x at
+        12.6 MP — the round-2 OOM margin), and a subpixel+depth-to-space
+        forward merely moves the pad to the transpose copy (64x, measured).
+        MSE-style losses are invariant under the depth-to-space permutation,
+        so the attack loss can consume this tensor directly and the hot
+        loop never materializes a full-res narrow tensor at all
+        (attacks/rd.py ``phase_space_loss``).
+
+        Available on the Sequential families whose synthesis ends in
+        ``Deconv(3)`` (factorized / hyper / context / fic).
+        """
+        for layer in (self.g_s_0, self.g_s_1, self.g_s_2, self.g_s_3,
+                      self.g_s_4, self.g_s_5):
+            y = layer(y)
+        return self.g_s_6(y, phase_output=True)
+
     def from_latent(self, y, quant_mode: str = "noise") -> Result:
         """Run the codec forward from a given latent ``y`` (everything after
         g_a).  This is the hook the latent-clamp defenses use: clamp

@@ -117,7 +117,7 @@ class Deconv(nn.Module):
         return False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phase_output: bool = False):
         k = self.kernel_size
         s = self.stride
         in_ch = x.shape[-1]
@@ -130,6 +130,15 @@ class Deconv(nn.Module):
             (k, k, in_ch, self.features),
         )
         bias = self.param("bias", _torch_bias_init(k * k * self.features), (self.features,))
+        if phase_output:
+            # phase-space output: the subpixel conv WITHOUT depth-to-space,
+            # (n, h, w, s*s*features) with phase-major channels — the
+            # depth_to_space() of this tensor is exactly __call__'s output.
+            # Consumers that only need permutation-invariant reductions
+            # (MSE) can stay in this space and never materialize the
+            # full-resolution narrow tensor (whose transpose/backward pads
+            # catastrophically on TPU: 64x measured at 12.6 MP).
+            return self._subpel_forward(x, kernel, bias, d2s=False)
         if self._use_subpel():
             return self._subpel_forward(x, kernel, bias)
         pad = k // 2
@@ -152,7 +161,7 @@ class Deconv(nn.Module):
         )
         return y + bias.astype(x.dtype)
 
-    def _subpel_forward(self, x, kernel, bias):
+    def _subpel_forward(self, x, kernel, bias, d2s: bool = True):
         """Exact phase decomposition of ConvTranspose2d(5, 2, 2, out_pad=1).
 
         Output pixel o = 2i + k - 2 (torch tap index k in 0..4), so the even
@@ -185,10 +194,30 @@ class Deconv(nn.Module):
         y = jax.lax.conv_general_dilated(
             x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
         )  # (n, h, w, 4*out)
+        if not d2s:
+            return y + jnp.tile(bias, 4).astype(x.dtype)
         n, hm, wm, _ = y.shape
         y = y.reshape(n, hm, wm, 2, 2, f)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * hm, 2 * wm, f)
         return y + bias.astype(x.dtype)
+
+
+def depth_to_space(y: jax.Array, block: int = 2) -> jax.Array:
+    """(n, h, w, block^2 * f) phase-major -> (n, block*h, block*w, f);
+    inverse of :func:`space_to_depth` and the tail of Deconv's subpixel
+    form (channel order (a, b, f): out[2m+a, 2n+b, f] = y[m, n, (2a+b)f+f])."""
+    n, h, w, c = y.shape
+    f = c // (block * block)
+    y = y.reshape(n, h, w, block, block, f)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, block * h, block * w, f)
+
+
+def space_to_depth(x: jax.Array, block: int = 2) -> jax.Array:
+    """(n, H, W, f) -> (n, H/block, W/block, block^2 * f) phase-major."""
+    n, hh, ww, f = x.shape
+    h, w = hh // block, ww // block
+    x = x.reshape(n, h, block, w, block, f)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, block * block * f)
 
 
 class GDN(nn.Module):

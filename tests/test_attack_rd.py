@@ -105,3 +105,52 @@ def test_remat_policies_agree():
             np.asarray(results[0]["im_"]), np.asarray(other["im_"]),
             atol=1e-6,
         )
+
+
+def test_phase_space_loss_matches_plain_attack():
+    """phase_space_loss=True must deliver the SAME attack (MSE is invariant
+    under the depth-to-space permutation) — only the memory layout of the
+    hot loop changes (the 12.6 MP OOM fix, RESULTS.md round 3)."""
+    module = init_model("hyper", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+
+    res_plain = make_attack_fn(module, RDAttackConfig(steps=6))(params, x)
+    res_phase = make_attack_fn(
+        module, RDAttackConfig(steps=6, phase_space_loss=True)
+    )(params, x)
+    np.testing.assert_allclose(
+        np.asarray(res_phase["im_"]), np.asarray(res_plain["im_"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(res_phase["vi"]), float(res_plain["vi"]), rtol=1e-4, atol=1e-4
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="phase_space_loss"):
+        make_attack_fn(
+            module,
+            RDAttackConfig(steps=2, phase_space_loss=True, att_metric="ms-ssim"),
+        )(params, x)
+
+
+def test_g_s_phase_is_d2s_inverse_of_g_s():
+    from imagecompression_adversarial_tpu.models.layers import (
+        depth_to_space,
+        space_to_depth,
+    )
+
+    module = init_model("hyper", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 6, module.M))
+    full = module.apply({"params": params}, y, method=module.g_s)
+    phase = module.apply({"params": params}, y, method=module.g_s_phase)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(phase)), np.asarray(full), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(space_to_depth(np.asarray(full))), np.asarray(phase),
+        rtol=1e-5, atol=1e-5,
+    )

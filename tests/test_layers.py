@@ -215,3 +215,23 @@ def test_deconv_subpel_matches_standard():
     np.testing.assert_allclose(
         np.asarray(g_sub), np.asarray(g_std), rtol=1e-4, atol=1e-5
     )
+
+
+def test_subpel_env_gate_preserves_codec_forward(monkeypatch):
+    """ICAT_SUBPEL_DECONV=final must leave the hyper codec's outputs
+    unchanged (the final 3-channel deconv flips to the subpixel form)."""
+    import jax
+
+    from imagecompression_adversarial_tpu.models import init_model, init_params
+
+    module = init_model("hyper", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+
+    monkeypatch.delenv("ICAT_SUBPEL_DECONV", raising=False)
+    base = module.apply({"params": params}, x, quant_mode="dequantize")["x_hat"]
+    monkeypatch.setenv("ICAT_SUBPEL_DECONV", "final")
+    sub = module.apply({"params": params}, x, quant_mode="dequantize")["x_hat"]
+    np.testing.assert_allclose(
+        np.asarray(sub), np.asarray(base), rtol=1e-5, atol=1e-5
+    )
