@@ -64,6 +64,14 @@ class RDAttackConfig:
     # 21-64x on TPU (the 12.6 MP OOM, RESULTS.md round 3).  L2 att_metric
     # + no in-loop defense only; requires the codec to provide g_s_phase.
     phase_space_loss: bool = False
+    # compile the attack scan and the final evaluation as SEPARATE XLA
+    # programs (two jits instead of one).  HBM peak is per-program, so the
+    # scan's rematerialized backward and the eval's full-resolution
+    # forwards (incl. the 21x-padded narrow-tensor conv temps and the
+    # MS-SSIM pyramid) no longer stack — the second half of the 12.6 MP
+    # single-chip fix.  Requires phase_space_loss (the scan must not
+    # reference the full-res clean output).  Not vmappable.
+    split_eval: bool = False
 
 
 def remat_transform(cfg: "RDAttackConfig"):

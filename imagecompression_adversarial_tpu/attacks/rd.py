@@ -132,6 +132,11 @@ def make_attack_fn(
     lrs = jnp.asarray(multistep_lr_schedule(cfg.steps, cfg.lr, cfg.lr_milgamma))
     opt = adam_on_noise()
 
+    if cfg.split_eval:
+        return _make_split_attack_fn(
+            module, cfg, lrs, opt, defend_fn_builder, latent_transform
+        )
+
     def attack(params, x, key: Optional[jax.Array] = None):
         apply_fn = lambda im, quant_mode: module.apply(
             {"params": params}, im, quant_mode=quant_mode
@@ -256,6 +261,106 @@ def make_attack_fn(
         return ev
 
     return jax.jit(attack)
+
+
+def _make_split_attack_fn(module, cfg, lrs, opt, defend_fn_builder,
+                          latent_transform):
+    """Two-program variant of `make_attack_fn` (cfg.split_eval): program A
+    runs the phase-space attack scan (no full-resolution narrow tensors at
+    all — the clean decode is dead code and XLA eliminates it), program B
+    runs the one-time full-resolution evaluation.  HBM peak is
+    per-program, which is what puts the 12.6 MP attack on one chip
+    (RESULTS.md round 3)."""
+    if not cfg.phase_space_loss:
+        raise ValueError("split_eval requires phase_space_loss=True")
+    if cfg.defend_in_loop or cfg.pad or cfg.att_metric == "ms-ssim":
+        raise ValueError(
+            "split_eval supports the plain L2 attack only"
+        )
+
+    def attack_core(params, x, key: Optional[jax.Array] = None):
+        apply_fn = lambda im, quant_mode: module.apply(
+            {"params": params}, im, quant_mode=quant_mode
+        )
+        result_s = apply_fn(x, quant_mode="dequantize")
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp_ori = bpp_from_likelihoods(result_s["likelihoods"], num_pixels)
+        # phase-space clean reference; result_s["x_hat"] is never used, so
+        # the full-res decode is DCE'd out of this program
+        ref_ps = module.apply(
+            {"params": params}, result_s["y_hat"], method=module.g_s_phase
+        )
+        loss_ref = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
+
+        noise0 = init_noise(x.shape, cfg, key)
+        opt_state0 = opt.init(noise0)
+
+        def loss_fn(n, params_, x_, output_s_):
+            af = lambda im, quant_mode: module.apply(
+                {"params": params_}, im, quant_mode=quant_mode
+            )
+
+            def pf(im):
+                y = module.apply({"params": params_}, im, method=module.g_a)
+                return module.apply(
+                    {"params": params_}, y, method=module.g_s_phase
+                )
+
+            return _attack_loss(af, x_, output_s_, n, cfg, phase_fn=pf)
+
+        loss_fn = remat_transform(cfg)(loss_fn)
+        grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
+
+        def step(carry, lr):
+            noise, opt_state = carry
+            grads, _ = grad_fn(noise, params, x, loss_ref)
+            updates, opt_state = opt.update(grads, opt_state)
+            noise = noise + jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            return (noise, opt_state), None
+
+        (noise, _), _ = jax.lax.scan(
+            step, (noise0, opt_state0), lrs, unroll=cfg.scan_unroll
+        )
+        _, (loss_i_final, loss_o_final) = loss_fn(noise, params, x, loss_ref)
+
+        eps = cfg.epsilon / 255.0
+        noise_c = bound_clip(noise, -eps, eps)
+        im_in = (x + noise_c if cfg.debug_model
+                 else bound_clip(x + noise_c, 0.0, 1.0))
+        return im_in, bpp_ori, loss_i_final, loss_o_final
+
+    def eval_prog(params, x, im_in):
+        apply_fn = lambda im, quant_mode: module.apply(
+            {"params": params}, im, quant_mode=quant_mode
+        )
+        result_s = apply_fn(x, quant_mode="dequantize")
+        output_s = (
+            jnp.clip(result_s["x_hat"], 0.0, 1.0)
+            if cfg.clamp else result_s["x_hat"]
+        )
+        defend_fn = defend_fn_builder(apply_fn) if defend_fn_builder else None
+        ev = evaluate(
+            apply_fn, im_in, x, output_s, clamp=cfg.clamp, defend_fn=defend_fn
+        )
+        ev["output_s"] = output_s
+        return ev
+
+    core_jit = jax.jit(attack_core)
+    eval_jit = jax.jit(eval_prog)
+
+    def attack(params, x, key: Optional[jax.Array] = None):
+        im_in, bpp_ori, loss_i_final, loss_o_final = core_jit(params, x, key)
+        ev = dict(eval_jit(params, x, im_in))
+        ev.update(
+            {
+                "bpp_ori": bpp_ori,
+                "loss_i_final": loss_i_final,
+                "loss_o_final": loss_o_final,
+            }
+        )
+        return ev
+
+    return attack
 
 
 def make_adv_example_fn(module, cfg: RDAttackConfig):

@@ -24,14 +24,16 @@ def main():
     from imagecompression_adversarial_tpu.models import init_model, init_params
 
     phase = os.environ.get("ICAT_PHASE_LOSS", "") == "1"
+    split = os.environ.get("ICAT_SPLIT_EVAL", "") == "1"
     module = init_model("hyper", 1)
     params = init_params(module, jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
     attack = make_attack_fn(
-        module, RDAttackConfig(steps=steps, phase_space_loss=phase)
+        module,
+        RDAttackConfig(steps=steps, phase_space_loss=phase, split_eval=split),
     )
-    if phase:
-        print("phase_space_loss=True")
+    if phase or split:
+        print(f"phase_space_loss={phase} split_eval={split}")
     res = attack(params, x)
     jax.block_until_ready(res["vi"])
     t0 = time.perf_counter()

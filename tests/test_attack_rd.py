@@ -154,3 +154,31 @@ def test_g_s_phase_is_d2s_inverse_of_g_s():
         np.asarray(space_to_depth(np.asarray(full))), np.asarray(phase),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_split_eval_matches_single_program():
+    """split_eval=True (two XLA programs, the 12.6 MP peak-memory fix) must
+    produce the same results as the single-program attack."""
+    module = init_model("hyper", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+
+    res_one = make_attack_fn(
+        module, RDAttackConfig(steps=5, phase_space_loss=True)
+    )(params, x)
+    res_two = make_attack_fn(
+        module, RDAttackConfig(steps=5, phase_space_loss=True, split_eval=True)
+    )(params, x)
+    for k in ("vi", "bpp", "bpp_ori", "mse_in", "mse_out"):
+        np.testing.assert_allclose(
+            float(res_two[k]), float(res_one[k]), rtol=1e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(res_two["im_"]), np.asarray(res_one["im_"]),
+        rtol=1e-6, atol=1e-7,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="split_eval"):
+        make_attack_fn(module, RDAttackConfig(steps=2, split_eval=True))
