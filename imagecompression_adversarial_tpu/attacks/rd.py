@@ -101,7 +101,16 @@ def _attack_loss(
         elif cfg.defend_in_loop == "clip":
             x_ = clip_fn(im_in)
         elif phase_fn is not None:
+            # phase-space branch: the clean reference arrives as a DENSE
+            # 2-D tensor (a (H/2, W/2*12) phase tensor tiles (8,128) with
+            # zero padding, while the 12-channel conv layout pads 10.7x —
+            # as a loop invariant that padding would occupy HBM for the
+            # whole scan); diff against a dense reshape of the output
             x_ = phase_fn(im_in)
+            output_ = bound_clip(x_, 0.0, 1.0) if cfg.clamp else x_
+            flat = output_.reshape(output_s.shape)
+            loss_o = 1.0 - jnp.mean((output_s - flat) ** 2)
+            return loss_o, loss_o
         else:
             x_ = apply_fn(im_in, quant_mode="none")["x_hat"]
         output_ = bound_clip(x_, 0.0, 1.0) if cfg.clamp else x_
@@ -176,7 +185,11 @@ def make_attack_fn(
             ref_ps = module.apply(
                 {"params": params}, result_s["y_hat"], method=module.g_s_phase
             )
-            loss_ref = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
+            ref_ps = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
+            # dense 2-D storage: zero layout padding as a scan invariant
+            loss_ref = ref_ps.reshape(
+                ref_ps.shape[1], ref_ps.shape[2] * ref_ps.shape[3]
+            )
         else:
             loss_ref = output_s
 
@@ -290,7 +303,11 @@ def _make_split_attack_fn(module, cfg, lrs, opt, defend_fn_builder,
         ref_ps = module.apply(
             {"params": params}, result_s["y_hat"], method=module.g_s_phase
         )
-        loss_ref = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
+        ref_ps = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
+        # dense 2-D storage: zero layout padding as a scan invariant
+        loss_ref = ref_ps.reshape(
+            ref_ps.shape[1], ref_ps.shape[2] * ref_ps.shape[3]
+        )
 
         noise0 = init_noise(x.shape, cfg, key)
         opt_state0 = opt.init(noise0)
