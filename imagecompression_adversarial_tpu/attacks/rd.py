@@ -187,9 +187,7 @@ def make_attack_fn(
             )
             ref_ps = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
             # dense 2-D storage: zero layout padding as a scan invariant
-            loss_ref = ref_ps.reshape(
-                ref_ps.shape[1], ref_ps.shape[2] * ref_ps.shape[3]
-            )
+            loss_ref = ref_ps.reshape(-1, ref_ps.shape[-1])
         else:
             loss_ref = output_s
 
@@ -305,9 +303,7 @@ def _make_split_attack_fn(module, cfg, lrs, opt, defend_fn_builder,
         )
         ref_ps = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
         # dense 2-D storage: zero layout padding as a scan invariant
-        loss_ref = ref_ps.reshape(
-            ref_ps.shape[1], ref_ps.shape[2] * ref_ps.shape[3]
-        )
+        loss_ref = ref_ps.reshape(-1, ref_ps.shape[-1])
 
         noise0 = init_noise(x.shape, cfg, key)
         opt_state0 = opt.init(noise0)

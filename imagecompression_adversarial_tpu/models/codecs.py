@@ -74,9 +74,11 @@ class CodecModel(nn.Module):
         return self.g_s(y)
 
     def g_s_phase(self, y):
-        """Synthesis ending in PHASE SPACE: (n, H/2, W/2, 12) with the final
-        deconv in its subpixel form, no depth-to-space.
-        ``depth_to_space(g_s_phase(y)) == g_s(y)`` exactly.
+        """Synthesis ending in PHASE SPACE: (n, 12, H/2, W/2) NCHW with the
+        final deconv in its subpixel form, no depth-to-space.
+        ``depth_to_space(transpose(g_s_phase(y), NHWC)) == g_s(y)`` exactly.
+        NCHW because a 12-channel minor dim would layout-pad 10.7x on TPU;
+        as a major dim over an (H, W) minor tile it pads nothing.
 
         Rationale (TPU layout): the full-resolution 3-channel output tensor
         is laid out channel-padded by XLA in conv backwards (21x at

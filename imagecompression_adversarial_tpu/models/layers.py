@@ -191,11 +191,21 @@ class Deconv(nn.Module):
         dn = jax.lax.conv_dimension_numbers(
             x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
         )
+        if not d2s:
+            # phase-space output in NCHW: the channel dim (4*out, e.g. 12)
+            # is small and would layout-pad 10.7x as the minor dim of an
+            # NHWC conv output (measured at 12.6 MP); as a major dim over
+            # (H, W) minor tiles it pads nothing.
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NCHW")
+            )
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+            )  # (n, 4*out, h, w)
+            return y + jnp.tile(bias, 4).astype(x.dtype)[None, :, None, None]
         y = jax.lax.conv_general_dilated(
             x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
         )  # (n, h, w, 4*out)
-        if not d2s:
-            return y + jnp.tile(bias, 4).astype(x.dtype)
         n, hm, wm, _ = y.shape
         y = y.reshape(n, hm, wm, 2, 2, f)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * hm, 2 * wm, f)

@@ -147,11 +147,14 @@ def test_g_s_phase_is_d2s_inverse_of_g_s():
     y = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 6, module.M))
     full = module.apply({"params": params}, y, method=module.g_s)
     phase = module.apply({"params": params}, y, method=module.g_s_phase)
+    # g_s_phase emits NCHW (channel-major: zero layout padding on TPU)
+    phase_nhwc = np.transpose(np.asarray(phase), (0, 2, 3, 1))
     np.testing.assert_allclose(
-        np.asarray(depth_to_space(phase)), np.asarray(full), rtol=1e-5, atol=1e-5
+        np.asarray(depth_to_space(phase_nhwc)), np.asarray(full),
+        rtol=1e-5, atol=1e-5,
     )
     np.testing.assert_allclose(
-        np.asarray(space_to_depth(np.asarray(full))), np.asarray(phase),
+        np.asarray(space_to_depth(np.asarray(full))), phase_nhwc,
         rtol=1e-5, atol=1e-5,
     )
 
