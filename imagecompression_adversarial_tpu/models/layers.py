@@ -192,27 +192,17 @@ class Deconv(nn.Module):
             x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
         )
         if not d2s:
-            # phase-space output in NCHW, computed as 9 shifted dot_generals
-            # instead of a conv: XLA:TPU's conv emitter materializes its
-            # output in a channel-blocked layout that pads a 12-channel
-            # tensor 10.7x (measured at 12.6 MP) regardless of the
-            # requested output dimension_numbers.  A dot with the channel
-            # dim MAJOR — (4*out, n, h, w) — tiles (H, W) minor and pads
-            # nothing; the per-tap matmuls ride the MXU.
-            n, h, wd, cin = x.shape
-            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            out = None
-            for j in range(3):
-                for i in range(3):
-                    xs = jax.lax.slice(
-                        xp, (0, j, i, 0), (n, j + h, i + wd, cin)
-                    )
-                    d = jax.lax.dot_general(
-                        w[j, i].T, xs, (((1,), (3,)), ((), ()))
-                    )  # (4*out, n, h, w)
-                    out = d if out is None else out + d
-            out = jnp.moveaxis(out, 1, 0)  # (n, 4*out, h, w)
-            return out + jnp.tile(bias, 4).astype(x.dtype)[None, :, None, None]
+            # phase-space output in NCHW: the channel dim (4*out, e.g. 12)
+            # is small and would layout-pad 10.7x as the minor dim of an
+            # NHWC conv output (measured at 12.6 MP); as a major dim over
+            # (H, W) minor tiles it pads nothing.
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NCHW")
+            )
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+            )  # (n, 4*out, h, w)
+            return y + jnp.tile(bias, 4).astype(x.dtype)[None, :, None, None]
         y = jax.lax.conv_general_dilated(
             x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
         )  # (n, h, w, 4*out)
