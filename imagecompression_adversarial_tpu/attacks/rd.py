@@ -319,6 +319,13 @@ def _make_split_attack_fn(module, cfg, lrs, opt, defend_fn_builder,
                     {"params": params_}, y, method=module.g_s_phase
                 )
 
+            # nested checkpoint: without it the phase conv's blocked output
+            # (1.51G at 12.6 MP, 10.7x layout pad) is held across the MSE
+            # backward alongside its recompute — two instances at peak.
+            # Checkpointing the decode keeps one alive at a time for one
+            # extra decode per step.
+            pf = jax.checkpoint(pf, prevent_cse=False)
+
             return _attack_loss(af, x_, output_s_, n, cfg, phase_fn=pf)
 
         loss_fn = remat_transform(cfg)(loss_fn)
@@ -361,9 +368,46 @@ def _make_split_attack_fn(module, cfg, lrs, opt, defend_fn_builder,
     core_jit = jax.jit(attack_core)
     eval_jit = jax.jit(eval_prog)
 
+    # piecewise evaluation (no eval-time defense only): each metric runs as
+    # its OWN program so a single eval never has to fit two full-res
+    # forwards + the MS-SSIM pyramid at once — at 12.6 MP the one-program
+    # eval is the only remaining OOM (the attack core itself fits).
+    def fwd_prog(params, im):
+        result = module.apply({"params": params}, im, quant_mode="dequantize")
+        x_hat = result["x_hat"]
+        out = jnp.clip(x_hat, 0.0, 1.0) if cfg.clamp else x_hat
+        num_pixels = im.shape[1] * im.shape[2]
+        return out, bpp_from_likelihoods(result["likelihoods"], num_pixels)
+
+    fwd_jit = jax.jit(fwd_prog)
+    mse_jit = jax.jit(lambda a, b: jnp.mean((a - b) ** 2))
+    msim_jit = jax.jit(ms_ssim)
+
     def attack(params, x, key: Optional[jax.Array] = None):
         im_in, bpp_ori, loss_i_final, loss_o_final = core_jit(params, x, key)
-        ev = dict(eval_jit(params, x, im_in))
+        if defend_fn_builder is not None:
+            ev = dict(eval_jit(params, x, im_in))
+        else:
+            from ..metrics import vi as vi_fn, vi_msim as vi_msim_fn
+
+            output_s, _ = fwd_jit(params, x)
+            output_, bpp = fwd_jit(params, im_in)
+            mse_in = mse_jit(im_in, x)
+            mse_out = mse_jit(output_, output_s)
+            msim_in = msim_jit(im_in, x)
+            msim_out = msim_jit(output_, output_s)
+            ev = {
+                "im_": im_in,
+                "output_": output_,
+                "output_s": output_s,
+                "bpp": bpp,
+                "mse_in": mse_in,
+                "mse_out": mse_out,
+                "msim_in": msim_in,
+                "msim_out": msim_out,
+                "vi": vi_fn(mse_in, mse_out),
+                "vi_msim": vi_msim_fn(msim_in, msim_out),
+            }
         ev.update(
             {
                 "bpp_ori": bpp_ori,
@@ -373,6 +417,8 @@ def _make_split_attack_fn(module, cfg, lrs, opt, defend_fn_builder,
         )
         return ev
 
+    attack.core_jit = core_jit  # exposed for stage-isolating probes
+    attack.eval_jit = eval_jit
     return attack
 
 

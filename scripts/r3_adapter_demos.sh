@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-3 trained-adapter demo pipeline: short synthetic training (the
+# 2000-step recipe proven for hyper/cheng2020-gmm in round 2) for the
+# third-party codec families, fp16 demo checkpoints, 1001-step attacks,
+# real-bitstream checks, and the trained cross-model transfer matrix
+# (VERDICT r2 "next" #3).  Sequential — ONE TPU process at a time.
+set -u
+cd /root/repo
+mkdir -p logs ckpts/demo
+
+for fam in tic invcompress nlaic; do
+  echo "=== train $fam (2000 steps, synthetic) ==="
+  timeout 9000 python -m imagecompression_adversarial_tpu.cli.train \
+    -m $fam -q 3 -metric mse -max_steps 2000 \
+    2>&1 | tee logs/r3_train_$fam.log | tail -4
+  echo "=== export $fam ==="
+  timeout 1800 python scripts/export_ckpt.py ckpts/anchor/$fam-0.0067-mse \
+    -m $fam -q 3 -o ckpts/demo/$fam-q3-mse-synthetic.msgpack \
+    2>&1 | tail -2
+  echo "=== attack $fam (1001 steps) ==="
+  timeout 9000 python -m imagecompression_adversarial_tpu.cli.attack_rd \
+    -m $fam -q 3 -metric mse -ckpt ckpts/demo/$fam-q3-mse-synthetic.msgpack \
+    -steps 1001 -s '/tmp/kodak_synth/kodim*.png' \
+    2>&1 | tee logs/r3_attack_$fam.log | tail -4
+  echo "=== real codec $fam ==="
+  timeout 5400 python -m imagecompression_adversarial_tpu.cli.codec \
+    -m $fam -q 3 -metric mse -ckpt ckpts/demo/$fam-q3-mse-synthetic.msgpack \
+    -s /tmp/kodak_synth/kodim01.png -t /tmp/r3_${fam}_dec.png \
+    2>&1 | tee logs/r3_codec_$fam.log | tail -5
+done
+
+echo "=== trained cross-model transfer matrix ==="
+timeout 9000 python -m imagecompression_adversarial_tpu.cli.transfer_noise \
+  --cross-model -steps 301 -s '/tmp/kodak_synth/kodim*.png' \
+  -cross "hyper:4:ckpts/demo/hyper-q4-mse-synthetic.msgpack,tic:3:ckpts/demo/tic-q3-mse-synthetic.msgpack,invcompress:3:ckpts/demo/invcompress-q3-mse-synthetic.msgpack,nlaic:3:ckpts/demo/nlaic-q3-mse-synthetic.msgpack" \
+  2>&1 | tee logs/r3_crossmodel.log | tail -12
+echo "=== pipeline done ==="
