@@ -61,9 +61,13 @@ class RDAttackConfig:
     # subpixel form, no depth-to-space): MSE is invariant under the d2s
     # permutation, and the hot loop then never materializes a
     # full-resolution 3-channel tensor — whose conv-backward layout pads
-    # 21-64x on TPU (the 12.6 MP OOM, RESULTS.md round 3).  L2 att_metric
-    # + no in-loop defense only; requires the codec to provide g_s_phase.
-    phase_space_loss: bool = False
+    # 21-64x on TPU (the 12.6 MP OOM, RESULTS.md round 3; +12% attack
+    # throughput at bench size, 210 vs 188 steps/s).  None = AUTO: on
+    # whenever the attack is the plain L2 one (no ms-ssim metric, in-loop
+    # defense, or -p pad) and the codec declares an exact phase synthesis
+    # (`supports_phase_synthesis`, models/codecs.py).  True forces it
+    # (raises if the codec has none); False forces the full-res loss.
+    phase_space_loss: Optional[bool] = None
     # compile the attack scan and the final evaluation as SEPARATE XLA
     # programs (two jits instead of one).  HBM peak is per-program, so the
     # scan's rematerialized backward and the eval's full-resolution

@@ -31,12 +31,19 @@ class IFGSMConfig:
     random_start: bool = False  # PGD
     momentum: bool = False  # MI-FGSM
     clamp: bool = True
+    # phase-space loss (see attacks/common.py RDAttackConfig): the loss MSE
+    # — and therefore its input gradient and every sign-gradient step — is
+    # invariant under the depth-to-space permutation.  None = auto.
+    phase_space_loss: Optional[bool] = None
 
 
 def make_ifgsm_fn(module, cfg: IFGSMConfig):
     """(params, x, key?) -> evaluation dict, fully jitted."""
     eps = cfg.epsilon / 255.0
     alpha = eps / cfg.steps
+    use_phase = cfg.phase_space_loss
+    if use_phase is None:
+        use_phase = bool(getattr(module, "supports_phase_synthesis", False))
 
     def attack(params, x, key: Optional[jax.Array] = None):
         apply_fn = lambda im, quant_mode: module.apply(
@@ -58,11 +65,31 @@ def make_ifgsm_fn(module, cfg: IFGSMConfig):
         else:
             im0 = x
 
+        if use_phase:
+            # clean loss reference in phase space (dense 2-D storage);
+            # clip is elementwise so clamping in phase space == clamping
+            # after depth-to-space
+            ref_y = result_s[getattr(module, "phase_reference_latent", "y_hat")]
+            ref_ps = module.apply(
+                {"params": params}, ref_y, method=module.g_s_phase
+            )
+            loss_ref = jnp.clip(ref_ps, 0.0, 1.0).reshape(-1, ref_ps.shape[-1])
+        else:
+            loss_ref = output_s
+
         # remat: the backward is activation-HBM-bound, recompute wins on v5e
         # (scripts/perf_attack_variants.py).  params/output_s enter as
         # ARGUMENTS — jax.checkpoint rematerializes closed-over tracers, and
         # a closure over output_s would re-run the clean forward every step.
         def loss_o_fn(im_adv, params_, output_s_):
+            if use_phase:
+                y = module.apply(
+                    {"params": params_}, im_adv, method=module.g_a
+                )
+                ps = module.apply(
+                    {"params": params_}, y, method=module.g_s_phase
+                )
+                return jnp.mean((output_s_ - ps.reshape(output_s_.shape)) ** 2)
             out = module.apply(
                 {"params": params_}, im_adv, quant_mode="none"
             )
@@ -74,7 +101,7 @@ def make_ifgsm_fn(module, cfg: IFGSMConfig):
 
         def step(carry, _):
             im_adv, g = carry
-            grad = grad_fn(im_adv, params, output_s)
+            grad = grad_fn(im_adv, params, loss_ref)
             if cfg.momentum:
                 g = g + grad / jnp.sum(jnp.abs(grad))
                 im_adv = jnp.clip(im_adv + alpha * jnp.sign(g), 0.0, 1.0)

@@ -20,6 +20,7 @@ axes instead of outer loops (ref loops at `attack_rd.py:654-664`).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -138,6 +139,27 @@ def make_attack_fn(
     module's own attack builder).  ``latent_transform`` (y -> y') is the
     profiled latent clamp for ``defend_in_loop='clip'`` adaptive attacks.
     """
+    # resolve phase_space_loss=None (AUTO): on iff the config is the plain
+    # L2 attack AND the codec declares an exact phase-space synthesis.
+    # Measured +12% attack throughput at bench size (RESULTS.md round 3).
+    supported = bool(getattr(module, "supports_phase_synthesis", False))
+    if cfg.phase_space_loss is None:
+        eligible = (
+            cfg.att_metric != "ms-ssim"
+            and not cfg.defend_in_loop
+            and not cfg.pad
+            and not cfg.debug_model
+        )
+        cfg = dataclasses.replace(
+            cfg, phase_space_loss=bool(eligible and supported)
+        )
+    elif cfg.phase_space_loss and not supported:
+        raise ValueError(
+            f"phase_space_loss=True but {type(module).__name__} declares no "
+            "exact phase-space synthesis (supports_phase_synthesis is not "
+            "set; see CodecModel.g_s_phase)"
+        )
+
     lrs = jnp.asarray(multistep_lr_schedule(cfg.steps, cfg.lr, cfg.lr_milgamma))
     opt = adam_on_noise()
 
@@ -182,8 +204,11 @@ def make_attack_fn(
                     "phase_space_loss supports the plain L2 attack only "
                     "(no ms-ssim metric, in-loop defense, or -p padding)"
                 )
+            # the latent the module's forward actually synthesizes from:
+            # y_hat normally, the UN-quantized y for fic (models/fic.py:200)
+            ref_y = result_s[getattr(module, "phase_reference_latent", "y_hat")]
             ref_ps = module.apply(
-                {"params": params}, result_s["y_hat"], method=module.g_s_phase
+                {"params": params}, ref_y, method=module.g_s_phase
             )
             ref_ps = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
             # dense 2-D storage: zero layout padding as a scan invariant
@@ -298,8 +323,9 @@ def _make_split_attack_fn(module, cfg, lrs, opt, defend_fn_builder,
         bpp_ori = bpp_from_likelihoods(result_s["likelihoods"], num_pixels)
         # phase-space clean reference; result_s["x_hat"] is never used, so
         # the full-res decode is DCE'd out of this program
+        ref_y = result_s[getattr(module, "phase_reference_latent", "y_hat")]
         ref_ps = module.apply(
-            {"params": params}, result_s["y_hat"], method=module.g_s_phase
+            {"params": params}, ref_y, method=module.g_s_phase
         )
         ref_ps = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
         # dense 2-D storage: zero layout padding as a scan invariant
@@ -437,15 +463,29 @@ def make_adv_example_fn(module, cfg: RDAttackConfig):
     lrs = jnp.asarray(multistep_lr_schedule(cfg.steps, cfg.lr, cfg.lr_milgamma))
     opt = adam_on_noise()
     eps = cfg.epsilon / 255.0
+    # same AUTO resolution as make_attack_fn (the training inner attack is
+    # always the plain L2 one, so this is just the capability gate)
+    use_phase = cfg.phase_space_loss
+    if use_phase is None:
+        use_phase = bool(getattr(module, "supports_phase_synthesis", False))
 
     def adv_example(params, x, noise_threshold, key=None):
         apply_fn = lambda im, quant_mode: module.apply(
             {"params": params}, im, quant_mode=quant_mode
         )
         result_s = apply_fn(x, quant_mode="dequantize")
-        output_s = (
-            jnp.clip(result_s["x_hat"], 0.0, 1.0) if cfg.clamp else result_s["x_hat"]
-        )
+        if use_phase:
+            ref_y = result_s[getattr(module, "phase_reference_latent", "y_hat")]
+            ref_ps = module.apply(
+                {"params": params}, ref_y, method=module.g_s_phase
+            )
+            ref_ps = jnp.clip(ref_ps, 0.0, 1.0) if cfg.clamp else ref_ps
+            output_s = ref_ps.reshape(-1, ref_ps.shape[-1])
+        else:
+            output_s = (
+                jnp.clip(result_s["x_hat"], 0.0, 1.0)
+                if cfg.clamp else result_s["x_hat"]
+            )
 
         # args (not closures) for the checkpointed fn — see make_attack_fn
         def loss_fn(noise, params_, x_, output_s_, noise_threshold_):
@@ -460,6 +500,16 @@ def make_adv_example_fn(module, cfg: RDAttackConfig):
                 return loss_i
 
             def output_phase(_):
+                if use_phase:
+                    y = module.apply(
+                        {"params": params_}, im_in, method=module.g_a
+                    )
+                    ps = module.apply(
+                        {"params": params_}, y, method=module.g_s_phase
+                    )
+                    output_ = bound_clip(ps, 0.0, 1.0) if cfg.clamp else ps
+                    flat = output_.reshape(output_s_.shape)
+                    return 1.0 - jnp.mean((output_s_ - flat) ** 2)
                 out = af(im_in, quant_mode="none")
                 x_hat = out["x_hat"]
                 output_ = bound_clip(x_hat, 0.0, 1.0) if cfg.clamp else x_hat
@@ -491,6 +541,8 @@ def make_batch_attack_fn(module, cfg: RDAttackConfig):
     independent Adam-on-noise run; `lax.cond` lowers to `select` under vmap,
     which is exactly the batched two-phase loss the reference stubbed out at
     `attack_rd.py:519-521`)."""
+    if cfg.split_eval:
+        raise ValueError("split_eval is not vmappable; use attack_batch=1")
     single = make_attack_fn(module, cfg)
 
     def batched(params, xs, keys=None):

@@ -40,6 +40,10 @@ def run(cfg) -> dict:
         debug_model=(cfg.model == "debug"),
         pad=cfg.pad,
         padding_mode=cfg.padding_mode,
+        phase_space_loss={"auto": None, "on": True, "off": False}[
+            cfg.phase_space
+        ],
+        split_eval=cfg.split_eval,
     )
     attack = make_attack_fn(module, att_cfg)
 

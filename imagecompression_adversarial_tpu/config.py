@@ -66,6 +66,12 @@ class Config:
     finetune: bool = False
     # batching (TPU extension: images attacked per device step)
     attack_batch: int = 1
+    # phase-space attack loss: 'auto' (on whenever exactly equivalent),
+    # 'on', 'off' — see attacks/common.py RDAttackConfig.phase_space_loss
+    phase_space: str = "auto"
+    # compile the attack scan and the evaluation as separate XLA programs
+    # (megapixel single-chip attacks; RESULTS.md round 3)
+    split_eval: bool = False
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -139,6 +145,12 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU extension
     p.add_argument("-attack_batch", dest="attack_batch", type=int,
                    default=d.attack_batch, help="images attacked per device step")
+    p.add_argument("-phase_space", dest="phase_space", type=str,
+                   default=d.phase_space, choices=("auto", "on", "off"),
+                   help="phase-space attack loss (auto: on when equivalent)")
+    p.add_argument("--split_eval", dest="split_eval", action="store_true",
+                   help="attack scan and eval as separate XLA programs "
+                        "(megapixel single-chip attacks)")
     return p
 
 

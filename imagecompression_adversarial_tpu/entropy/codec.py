@@ -66,39 +66,49 @@ class RealCodec:
             self.ar_weights = ARWeights(
                 params, gmm_k=getattr(module, "K", 0) if self.is_gmm else 0
             )
+        # params are passed to every jitted stage as a RUNTIME argument, not
+        # a closure: closed-over params become compile-time constants
+        # embedded in the program, which (a) bloats the compile payload past
+        # the axon relay's request limit for big families (HTTP 413 at
+        # invcompress's 207M params) and (b) defeats executable reuse
         if self.is_context4:
             # the checkerboard context runs as a full TPU conv pass; phase-k
             # outputs depend only on phases < k (masked), so the SAME jitted
             # program serves the encoder's single full-canvas call and the
             # decoder's four progressive calls bit-exactly
-            self._context = jax.jit(
-                lambda y_hat, hf: module.apply(
-                    {"params": params}, y_hat, hf,
+            _context = jax.jit(
+                lambda p, y_hat, hf: module.apply(
+                    {"params": p}, y_hat, hf,
                     method=lambda m, a, b: m.context(a, b),
                 )
             )
+            self._context = lambda y_hat, hf: _context(self.params, y_hat, hf)
 
-        self._g_a = jax.jit(
-            lambda x: module.apply({"params": params}, x, method=module.g_a)
+        _g_a = jax.jit(
+            lambda p, x: module.apply({"params": p}, x, method=module.g_a)
         )
-        self._g_s = jax.jit(
-            lambda y: module.apply({"params": params}, y, method=module.g_s)
+        self._g_a = lambda x: _g_a(self.params, x)
+        _g_s = jax.jit(
+            lambda p, y: module.apply({"params": p}, y, method=module.g_s)
         )
+        self._g_s = lambda y: _g_s(self.params, y)
         if not self.is_factorized:
             if self.is_hyper:
                 # scale hyperprior conditions on |y| (ref `anchors/model.py:92`)
-                self._h_a = jax.jit(
-                    lambda y: module.apply(
-                        {"params": params}, jnp.abs(y), method=module.h_a
+                _h_a = jax.jit(
+                    lambda p, y: module.apply(
+                        {"params": p}, jnp.abs(y), method=module.h_a
                     )
                 )
             else:
-                self._h_a = jax.jit(
-                    lambda y: module.apply({"params": params}, y, method=module.h_a)
+                _h_a = jax.jit(
+                    lambda p, y: module.apply({"params": p}, y, method=module.h_a)
                 )
-            self._h_s = jax.jit(
-                lambda z: module.apply({"params": params}, z, method=module.h_s)
+            self._h_a = lambda y: _h_a(self.params, y)
+            _h_s = jax.jit(
+                lambda p, z: module.apply({"params": p}, z, method=module.h_s)
             )
+            self._h_s = lambda z: _h_s(self.params, z)
 
     # ------------------------------------------------------------------ EB
 

@@ -66,6 +66,15 @@ class CodecModel(nn.Module):
     """
 
     entropy_structure = "none"
+    # True iff this family's `g_s_phase` computes EXACTLY g_s up to the
+    # depth-to-space permutation — gates the attack's phase-space loss
+    # (attacks/rd.py).  Subclasses whose g_s is not the plain
+    # g_s_0..g_s_5 + final-deconv chain must keep this False unless they
+    # override g_s_phase to match their own synthesis.
+    supports_phase_synthesis = False
+    # which key of the forward-result dict holds the latent g_s actually
+    # decodes (fic synthesizes the UN-quantized y, models/fic.py:200)
+    phase_reference_latent = "y_hat"
 
     def encode(self, x):  # alias used by analysis tools
         return self.g_a(x)
@@ -113,6 +122,7 @@ class FactorizedPrior(CodecModel):
     N: int
     M: int
     entropy_structure = "factorized"
+    supports_phase_synthesis = True
 
     def setup(self):
         self.g_a_0 = Conv(self.N)
@@ -176,6 +186,7 @@ class ScaleHyperprior(CodecModel):
     N: int
     M: int
     entropy_structure = "scale_hyper"
+    supports_phase_synthesis = True
 
     def setup(self):
         self.g_a_0 = Conv(self.N)
@@ -261,6 +272,7 @@ class JointAutoregressive(CodecModel):
     N: int
     M: int
     entropy_structure = "context"
+    supports_phase_synthesis = True
 
     def setup(self):
         self.g_a_0 = Conv(self.N)
@@ -368,6 +380,7 @@ class Cheng2020Anchor(JointAutoregressive):
     N: int
     M: int  # always == N
     ep_final_width: Optional[int] = None  # GMM variant widens the head
+    supports_phase_synthesis = True  # via the final SubpelConv's phase form
 
     def setup(self):
         n = self.N
@@ -415,11 +428,25 @@ class Cheng2020Anchor(JointAutoregressive):
             x = layer(x)
         return x
 
-    def g_s(self, y):
+    def _g_s_body(self, y):
+        """Everything up to (not including) the final SubpelConv — shared by
+        g_s and g_s_phase so the two cannot drift."""
         for layer in (self.g_s_0, self.g_s_1, self.g_s_2, self.g_s_3,
-                      self.g_s_4, self.g_s_5, self.g_s_6, self.g_s_7):
+                      self.g_s_4, self.g_s_5, self.g_s_6):
             y = layer(y)
         return y
+
+    def g_s(self, y):
+        return self.g_s_7(self._g_s_body(y))
+
+    def g_s_phase(self, y):
+        """Synthesis in the final SubpelConv's phase space, NCHW
+        (n, 12, H/2, W/2).  Channel order is pixel_shuffle's
+        (c*r*r + i*r + j) — a fixed permutation of the base class's
+        depth-to-space order, which is irrelevant to the MSE-invariant
+        phase-space attack loss (both sides of the diff use this same
+        mapping)."""
+        return self.g_s_7(self._g_s_body(y), phase_output=True)
 
     def h_a(self, y):
         h = nn.leaky_relu(self.h_a_0(y))
@@ -464,7 +491,7 @@ class Cheng2020Attention(Cheng2020Anchor):
         x = self.g_a_6(x)
         return self.g_a_attn_2(x)
 
-    def g_s(self, y):
+    def _g_s_body(self, y):
         y = self.g_s_attn_0(y)
         y = self.g_s_0(y)
         y = self.g_s_1(y)
@@ -473,8 +500,7 @@ class Cheng2020Attention(Cheng2020Anchor):
         y = self.g_s_attn_1(y)
         y = self.g_s_4(y)
         y = self.g_s_5(y)
-        y = self.g_s_6(y)
-        return self.g_s_7(y)
+        return self.g_s_6(y)
 
 
 class Cheng2020AttnGMM(Cheng2020Attention):

@@ -113,6 +113,10 @@ class FIC(CodecModel):
     N: int
     M: int
     entropy_structure = "context4"
+    supports_phase_synthesis = True  # base g_s_0..g_s_6 chain applies
+    # fic synthesizes the UN-quantized latent, so the phase-space clean
+    # reference must be built from result["y"], not y_hat (line 200)
+    phase_reference_latent = "y"
 
     def setup(self):
         n, m = self.N, self.M

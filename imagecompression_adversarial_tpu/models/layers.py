@@ -394,7 +394,7 @@ class SubpelConv(nn.Module):
     kernel_size: int = 3
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phase_output: bool = False):
         r = self.upscale
         # named "conv" so the checkpoint converter's `subpel_conv.0.weight`
         # -> `subpel_conv/conv/kernel` mapping lands (io/convert.py)
@@ -402,6 +402,11 @@ class SubpelConv(nn.Module):
             self.features * r * r, kernel_size=self.kernel_size, stride=1,
             name="conv",
         )(x)
+        if phase_output:
+            # phase space, NCHW: pixel_shuffle(transpose(out, NHWC), r) ==
+            # __call__'s output; channel-major so the (e.g. 12-wide)
+            # phase dim never layout-pads on TPU (cf. Deconv.phase_output)
+            return jnp.transpose(y, (0, 3, 1, 2))
         return pixel_shuffle(y, r)
 
 

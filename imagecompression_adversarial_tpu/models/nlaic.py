@@ -76,6 +76,8 @@ class NLAIC(JointAutoregressive):
     N: int
     M: int
 
+    supports_phase_synthesis = True  # own g_s_phase below (NLAM-aware)
+
     def setup(self):
         n, m = self.N, self.M
         super().setup()
@@ -95,7 +97,10 @@ class NLAIC(JointAutoregressive):
         x = self.g_a_6(x)
         return self.g_a_nlam_2(x)
 
-    def g_s(self, y):
+    def _g_s_body(self, y):
+        """NLAM-interleaved synthesis up to (not including) the final
+        Deconv(3) — shared by g_s and g_s_phase.  (The base CodecModel
+        g_s_phase would silently SKIP the NLAM blocks.)"""
         y = self.g_s_nlam_0(y)
         y = self.g_s_0(y)
         y = self.g_s_1(y)
@@ -103,5 +108,10 @@ class NLAIC(JointAutoregressive):
         y = self.g_s_3(y)
         y = self.g_s_nlam_1(y)
         y = self.g_s_4(y)
-        y = self.g_s_5(y)
-        return self.g_s_6(y)
+        return self.g_s_5(y)
+
+    def g_s(self, y):
+        return self.g_s_6(self._g_s_body(y))
+
+    def g_s_phase(self, y):
+        return self.g_s_6(self._g_s_body(y), phase_output=True)

@@ -54,7 +54,7 @@ def main():
         "extra": {"epoch": 0, "loss": 0.0, "lr": 0.0},
     }
     restored = ocp.StandardCheckpointer().restore(
-        os.path.abspath(path), args=ocp.args.StandardRestore(template)
+        os.path.abspath(path), template
     )
     save_params(
         restored["state"]["params"], args.out,

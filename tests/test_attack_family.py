@@ -29,6 +29,26 @@ def test_bim_respects_linf_ball():
     assert np.isfinite(float(res["vi"]))
 
 
+def test_ifgsm_phase_space_matches_plain():
+    """The phase-space I-FGSM loss must produce the IDENTICAL trajectory:
+    the loss gradient is the same tensor up to the d2s permutation, so
+    sign(grad) steps match exactly."""
+    module, params, x = _setup()
+    plain = make_ifgsm_fn(
+        module, IFGSMConfig(steps=5, phase_space_loss=False)
+    )(params, x)
+    phase = make_ifgsm_fn(
+        module, IFGSMConfig(steps=5, phase_space_loss=True)
+    )(params, x)
+    np.testing.assert_allclose(
+        np.asarray(phase["im_"]), np.asarray(plain["im_"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(phase["vi"]), float(plain["vi"]), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_pgd_random_start_differs_from_bim():
     module, params, x = _setup()
     bim = make_ifgsm_fn(module, IFGSMConfig(steps=4))(params, x)

@@ -115,7 +115,9 @@ def test_phase_space_loss_matches_plain_attack():
     params = init_params(module, jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
 
-    res_plain = make_attack_fn(module, RDAttackConfig(steps=6))(params, x)
+    res_plain = make_attack_fn(
+        module, RDAttackConfig(steps=6, phase_space_loss=False)
+    )(params, x)
     res_phase = make_attack_fn(
         module, RDAttackConfig(steps=6, phase_space_loss=True)
     )(params, x)
@@ -184,4 +186,69 @@ def test_split_eval_matches_single_program():
     import pytest
 
     with pytest.raises(ValueError, match="split_eval"):
-        make_attack_fn(module, RDAttackConfig(steps=2, split_eval=True))
+        make_attack_fn(
+            module,
+            RDAttackConfig(steps=2, split_eval=True, phase_space_loss=False),
+        )
+
+
+def test_phase_space_auto_resolution():
+    """phase_space_loss=None (the default) resolves ON for codecs that
+    declare an exact phase synthesis and the plain L2 config, OFF
+    otherwise; explicit True on an unsupported codec raises."""
+    import pytest
+
+    hyper = init_model("hyper", 1)
+    params = init_params(hyper, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+
+    # auto-on must equal the forced-off attack (exact same trajectory)
+    res_auto = make_attack_fn(hyper, RDAttackConfig(steps=4))(params, x)
+    res_off = make_attack_fn(
+        hyper, RDAttackConfig(steps=4, phase_space_loss=False)
+    )(params, x)
+    np.testing.assert_allclose(
+        np.asarray(res_auto["im_"]), np.asarray(res_off["im_"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # unsupported codec family: auto falls back to the plain loss (no
+    # error), explicit True raises
+    tic = init_model("tic", 1)
+    assert not getattr(tic, "supports_phase_synthesis")
+    tic_params = init_params(tic, jax.random.PRNGKey(2))
+    res_tic = make_attack_fn(tic, RDAttackConfig(steps=2))(tic_params, x)
+    assert np.isfinite(float(res_tic["vi"]))
+    with pytest.raises(ValueError, match="supports_phase_synthesis"):
+        make_attack_fn(tic, RDAttackConfig(steps=2, phase_space_loss=True))
+
+
+def test_cheng2020_and_nlaic_phase_matches_g_s():
+    """The overridden phase syntheses (cheng2020's SubpelConv form, NLAIC's
+    NLAM-interleaved chain) must reproduce g_s exactly up to their fixed
+    spatial-phase permutation."""
+    from imagecompression_adversarial_tpu.models.layers import pixel_shuffle
+
+    cheng = init_model("cheng2020", 1)
+    params = init_params(cheng, jax.random.PRNGKey(0))
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 6, cheng.M))
+    full = cheng.apply({"params": params}, y, method=cheng.g_s)
+    phase = cheng.apply({"params": params}, y, method=cheng.g_s_phase)
+    phase_nhwc = jnp.transpose(jnp.asarray(phase), (0, 2, 3, 1))
+    np.testing.assert_allclose(
+        np.asarray(pixel_shuffle(phase_nhwc, 2)), np.asarray(full),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    from imagecompression_adversarial_tpu.models.layers import depth_to_space
+
+    nlaic = init_model("nlaic", 1)
+    nparams = init_params(nlaic, jax.random.PRNGKey(1))
+    yn = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 6, nlaic.M))
+    fulln = nlaic.apply({"params": nparams}, yn, method=nlaic.g_s)
+    phasen = nlaic.apply({"params": nparams}, yn, method=nlaic.g_s_phase)
+    phasen_nhwc = np.transpose(np.asarray(phasen), (0, 2, 3, 1))
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(phasen_nhwc)), np.asarray(fulln),
+        rtol=1e-5, atol=1e-5,
+    )
