@@ -42,8 +42,14 @@ def make_ifgsm_fn(module, cfg: IFGSMConfig):
     eps = cfg.epsilon / 255.0
     alpha = eps / cfg.steps
     use_phase = cfg.phase_space_loss
+    supported = bool(getattr(module, "supports_phase_synthesis", False))
     if use_phase is None:
-        use_phase = bool(getattr(module, "supports_phase_synthesis", False))
+        use_phase = supported
+    elif use_phase and not supported:
+        raise ValueError(
+            f"phase_space_loss=True but {type(module).__name__} declares no "
+            "exact phase-space synthesis (supports_phase_synthesis is not set)"
+        )
 
     def attack(params, x, key: Optional[jax.Array] = None):
         apply_fn = lambda im, quant_mode: module.apply(

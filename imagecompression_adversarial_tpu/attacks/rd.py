@@ -313,6 +313,11 @@ def _make_split_attack_fn(module, cfg, lrs, opt, defend_fn_builder,
         raise ValueError(
             "split_eval supports the plain L2 attack only"
         )
+    if cfg.debug_model:
+        # the piecewise eval feeds im_in to the codec unclamped; with
+        # debug_model (unclipped x+noise) that would silently diverge from
+        # the single-program path's clamp-then-evaluate semantics
+        raise ValueError("split_eval does not support debug_model")
 
     def attack_core(params, x, key: Optional[jax.Array] = None):
         apply_fn = lambda im, quant_mode: module.apply(
@@ -466,8 +471,14 @@ def make_adv_example_fn(module, cfg: RDAttackConfig):
     # same AUTO resolution as make_attack_fn (the training inner attack is
     # always the plain L2 one, so this is just the capability gate)
     use_phase = cfg.phase_space_loss
+    supported = bool(getattr(module, "supports_phase_synthesis", False))
     if use_phase is None:
-        use_phase = bool(getattr(module, "supports_phase_synthesis", False))
+        use_phase = supported
+    elif use_phase and not supported:
+        raise ValueError(
+            f"phase_space_loss=True but {type(module).__name__} declares no "
+            "exact phase-space synthesis (supports_phase_synthesis is not set)"
+        )
 
     def adv_example(params, x, noise_threshold, key=None):
         apply_fn = lambda im, quant_mode: module.apply(
@@ -554,8 +565,19 @@ def make_batch_attack_fn(module, cfg: RDAttackConfig):
 
 
 def best_of_restarts(attack_fn, params, x, keys):
-    """Random-restart wrapper: run `len(keys)` attacks (vmapped) and keep the
-    highest-VI result (ref `attack_rd.py:658-664`)."""
+    """Random-restart wrapper: run `len(keys)` attacks and keep the
+    highest-VI result (ref `attack_rd.py:658-664`).
+
+    split_eval attacks (recognised by their exposed ``eval_jit`` stage) are
+    looped on the host instead of vmapped: vmap would inline the two jitted
+    subprograms into ONE traced computation, re-fusing the attack scan with
+    the full-resolution eval and forfeiting the per-program HBM peak that
+    split_eval exists to provide (e.g. a megapixel fic attack with
+    ``-random 2`` would quietly reintroduce the OOM)."""
+    if getattr(attack_fn, "eval_jit", None) is not None:
+        results = [attack_fn(params, x, k) for k in keys]
+        best = max(range(len(results)), key=lambda i: float(results[i]["vi"]))
+        return results[best]
     results = jax.vmap(lambda k: attack_fn(params, x, k))(keys)
     best = jnp.argmax(results["vi"])
     return jax.tree_util.tree_map(lambda a: a[best], results)

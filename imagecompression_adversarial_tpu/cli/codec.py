@@ -38,6 +38,7 @@ def run(cfg) -> dict:
     result = module.apply({"params": params}, jnp.asarray(im),
                           quant_mode="dequantize")
     est_bpp = float(bpp_from_likelihoods(result["likelihoods"], num_pixels))
+    table_bpp = codec.table_bpp(im, num_pixels)  # None for context families
     p = float(psnr(jnp.asarray(x_hat), jnp.asarray(im)))
 
     if cfg.target:
@@ -49,11 +50,17 @@ def run(cfg) -> dict:
                 f.write(struct.pack("<I", len(s)))
                 f.write(s)
 
+    tb = "" if table_bpp is None else f"table_bpp {table_bpp:.4f} "
     print(
         f"{cfg.source}: real_bpp {real_bpp:.4f} est_bpp {est_bpp:.4f} "
-        f"psnr {p:.2f}"
+        f"{tb}psnr {p:.2f}"
     )
-    return {"real_bpp": real_bpp, "est_bpp": est_bpp, "psnr": p}
+    return {
+        "real_bpp": real_bpp,
+        "est_bpp": est_bpp,
+        "table_bpp": table_bpp,
+        "psnr": p,
+    }
 
 
 def main(argv=None):

@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.bounds import lower_bound
+from ..ops.bounds import lower_bound, upper_bound
 from ..ops.quant import quantize
 
 _LIKELIHOOD_BOUND = 1e-9
@@ -61,11 +61,26 @@ def gaussian_likelihood(
     scales: jax.Array,
     means: Optional[jax.Array] = None,
     scale_bound: float = SCALE_BOUND,
+    scale_max: Optional[float] = SCALES_MAX,
 ) -> jax.Array:
-    """Unit-bin likelihood of (already quantized) ``values``."""
+    """Unit-bin likelihood of (already quantized) ``values``.
+
+    Scales are bounded into ``[scale_bound, scale_max]`` — the exact range
+    the real coder's 64-entry table covers (``gc_build_indexes`` clamps
+    out-of-range predictions to the last table row, like CompressAI's
+    ``build_indexes``).  Without the top clamp an under-calibrated scale
+    head (e.g. a briefly-trained TIC) reports an ESTIMATED bpp up to 7%
+    above what the real coder writes on the wire (RESULTS.md round 3);
+    bounding here makes the estimate model the code that actually runs.
+    Both bounds use the gradient-gated STE so rate gradients keep flowing
+    at the clamp.  ``scale_max=None`` disables the top clamp (pure
+    CompressAI ``GaussianConditional.forward`` semantics).
+    """
     if means is not None:
         values = values - means
     scales = lower_bound(scales, scale_bound)
+    if scale_max is not None:
+        scales = upper_bound(scales, scale_max)
     values = jnp.abs(values)
     upper = _standardized_cumulative((0.5 - values) / scales)
     lower = _standardized_cumulative((-0.5 - values) / scales)

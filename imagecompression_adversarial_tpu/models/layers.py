@@ -131,6 +131,11 @@ class Deconv(nn.Module):
         )
         bias = self.param("bias", _torch_bias_init(k * k * self.features), (self.features,))
         if phase_output:
+            if k != 5 or s != 2:
+                raise ValueError(
+                    "Deconv phase_output requires kernel_size=5/stride=2 (the "
+                    f"subpel phase decomposition); got k={k}, s={s}"
+                )
             # phase-space output: the subpixel conv WITHOUT depth-to-space,
             # (n, h, w, s*s*features) with phase-major channels — the
             # depth_to_space() of this tensor is exactly __call__'s output.

@@ -40,6 +40,22 @@ def test_gaussian_scale_floor():
     np.testing.assert_allclose(lik_small, lik_floor)
 
 
+def test_gaussian_scale_top_clamp():
+    # scales above the real coder's table top (256) are clamped down, so the
+    # ESTIMATE models the code the coder actually runs (gc_build_indexes maps
+    # any scale > 256 to the last table row) — the −7% tic real-vs-est gap of
+    # RESULTS.md round 3.  scale_max=None restores CompressAI forward
+    # semantics (no top clamp).
+    v = jnp.full((1, 1), 7.0)
+    lik_big = gaussian_likelihood(v, jnp.full((1, 1), 500.0))
+    lik_top = gaussian_likelihood(v, jnp.full((1, 1), 256.0))
+    np.testing.assert_allclose(lik_big, lik_top)
+    lik_unclamped = gaussian_likelihood(
+        v, jnp.full((1, 1), 500.0), scale_max=None
+    )
+    assert float(lik_unclamped[0, 0]) < float(lik_top[0, 0])
+
+
 def test_gaussian_conditional_round_trip():
     key = jax.random.PRNGKey(0)
     y = jax.random.normal(key, (2, 4, 4, 3)) * 5

@@ -121,6 +121,40 @@ class TestRealCodec:
             x_hat, np.clip(np.asarray(ref["x_hat"]), 0, 1), atol=1e-5
         )
 
+    def test_table_bpp_brackets_real(self):
+        # table_bpp is the entropy floor of the wire format: real_bpp must
+        # sit slightly ABOVE it (rANS/stream overhead only), and the model's
+        # forward estimate must now be near it (the gaussian_likelihood top
+        # clamp mirrors gc_build_indexes; residual gap = table rounding-up).
+        import jax
+        import jax.numpy as jnp
+
+        from imagecompression_adversarial_tpu.entropy.codec import RealCodec
+        from imagecompression_adversarial_tpu.metrics import bpp_from_likelihoods
+        from imagecompression_adversarial_tpu.models import init_model, init_params
+
+        module = init_model("hyper", 1)
+        params = init_params(module, jax.random.PRNGKey(0))
+        codec = RealCodec(module, params)
+        x = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)), np.float32
+        )
+        num_pixels = 64 * 64
+        out = codec.compress(x)
+        real = codec.real_bpp(out, num_pixels)
+        table = codec.table_bpp(x, num_pixels)
+        assert table is not None
+        assert real >= table - 1e-6  # floor property
+        assert real - table < 0.08  # pure rANS/flush overhead, not structural
+        ref = module.apply({"params": params}, jnp.asarray(x),
+                           quant_mode="dequantize")
+        est = float(bpp_from_likelihoods(ref["likelihoods"], num_pixels))
+        # On RANDOM weights many symbols overflow the table support, so the
+        # Gaussian estimate and the escape+bypass wire cost diverge (here
+        # ~20%); tight est~table agreement is a trained-model property
+        # (verified on-chip: gmm +0.34%, RESULTS.md).  Keep a sanity band.
+        assert abs(est - table) / max(table, 1e-6) < 0.5
+
     def test_unsupported_module_rejected(self):
         from imagecompression_adversarial_tpu.entropy.codec import RealCodec
 
