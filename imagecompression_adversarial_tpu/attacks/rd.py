@@ -416,6 +416,11 @@ def _make_split_attack_fn(module, cfg, lrs, opt, defend_fn_builder,
 
     def attack(params, x, key: Optional[jax.Array] = None):
         im_in, bpp_ori, loss_i_final, loss_o_final = core_jit(params, x, key)
+        # fence the two programs: the eval program must not be enqueued
+        # while the core scan still holds its live temps — at 12.6 MP the
+        # whole point of the split is that the per-PROGRAM peak fits
+        # (RESULTS.md round-3 same-process caveat)
+        im_in.block_until_ready()
         if defend_fn_builder is not None:
             ev = dict(eval_jit(params, x, im_in))
         else:

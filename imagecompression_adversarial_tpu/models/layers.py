@@ -247,7 +247,6 @@ class GDN(nn.Module):
     beta_min: float = 1e-6
     gamma_init: float = 0.1
     reparam_offset: float = 2 ** -18
-    impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     @nn.compact
     def __call__(self, x):
@@ -272,24 +271,11 @@ class GDN(nn.Module):
         beta = lower_bound(beta_r, beta_bound) ** 2 - pedestal
         gamma = lower_bound(gamma_r, gamma_bound) ** 2 - pedestal
 
-        impl = self.impl
-        if impl == "auto":
-            import os
-
-            impl = "pallas" if os.environ.get("ICAT_PALLAS_GDN") == "1" else "xla"
-        if impl == "pallas":
-            from ..ops.pallas_gdn import gdn_fused
-
-            # the Pallas kernel is TPU-specific: compile natively only on a
-            # TPU-class backend (the axon relay reports backend "axon" for
-            # the real chip), interpret everywhere else (cpu, gpu, ...)
-            interpret = jax.default_backend() not in ("tpu", "axon")
-            return gdn_fused(
-                x, gamma.astype(x.dtype), beta.astype(x.dtype),
-                self.inverse, interpret,
-            )
-
-        # norm[..., o] = sum_i gamma[o, i] * x[..., i]^2 + beta[o]
+        # norm[..., o] = sum_i gamma[o, i] * x[..., i]^2 + beta[o].
+        # Shipped as the plain einsum: XLA's own fusion beat the hand Pallas
+        # kernel end-to-end in BOTH measured rounds (1.1 vs 1.9 ms micro,
+        # round 1; 138 vs 101.6 attack steps/s, round 2 — RESULTS.md), so the
+        # kernel was demoted to a benchmark harness (scripts/pallas_gdn.py).
         norm = jnp.einsum("...i,oi->...o", (x * x), gamma.astype(x.dtype)) + beta.astype(
             x.dtype
         )

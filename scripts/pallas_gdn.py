@@ -1,5 +1,13 @@
-"""Fused Pallas GDN kernel (SURVEY §2.6: the CompressAI GDN CUDA kernel's
-TPU-native equivalent).
+"""Fused Pallas GDN kernel — DEMOTED to a benchmark harness (round 4).
+
+History: written in round 1 as the TPU-native equivalent of CompressAI's
+GDN CUDA kernel (SURVEY §2.6), it lost to XLA's own fusion in both honest
+measurements (1.9 vs 1.1 ms micro at (1,384,256,192), round 1; 101.6 vs
+138 attack steps/s end-to-end, round 2 — RESULTS.md).  The shipping GDN
+(`models/layers.py`) is the plain einsum XLA fuses itself; this file stays
+only as the harness for future tile/dtype experiments
+(`scripts/perf_gdn_tiles.py`).  Run `python scripts/pallas_gdn.py` for an
+interpret-mode correctness self-check.
 
 GDN is ``out = x / sqrt(beta + gamma @ x^2)`` (IGDN multiplies).  Lowered
 naively this is: square (VPU) -> channel matmul (MXU) -> bias add -> rsqrt
@@ -140,3 +148,25 @@ def _gdn_fused_bwd(inverse, interpret, res, g):
 
 
 gdn_fused.defvjp(_gdn_fused_fwd, _gdn_fused_bwd)
+
+
+if __name__ == "__main__":
+    # interpret-mode correctness self-check vs the shipping XLA math
+    # (replaces the deleted tests/test_pallas_gdn.py after the demotion)
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    key = jax.random.PRNGKey(0)
+    c = 16
+    x = jax.random.normal(key, (2, 8, 8, c), jnp.float32)
+    gamma = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (c, c))) * 0.1
+    beta = jnp.ones((c,)) * 0.5
+    for inverse in (False, True):
+        ref_norm = jnp.einsum("...i,oi->...o", x * x, gamma) + beta
+        ref = x * (jnp.sqrt(ref_norm) if inverse else jax.lax.rsqrt(ref_norm))
+        out = gdn_fused(x, gamma, beta, inverse, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        g = jax.grad(lambda x: jnp.sum(gdn_fused(x, gamma, beta, inverse, True) ** 2))(x)
+        g_ref = jax.grad(lambda x: jnp.sum((x * (jnp.sqrt(jnp.einsum("...i,oi->...o", x * x, gamma) + beta) if inverse else jax.lax.rsqrt(jnp.einsum("...i,oi->...o", x * x, gamma) + beta))) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+    print("pallas_gdn interpret-mode self-check: OK")

@@ -50,6 +50,10 @@ def main():
 
     if skip_eval:
         return
+    # drop the probe's own full-res device buffers before the full attack:
+    # at 12.6 MP every live 151 MB output narrows the eval program's HBM
+    # headroom (round-3 same-process caveat, RESULTS.md)
+    del im_in
     # full attack() = core + the piecewise per-metric eval programs
     t0 = time.perf_counter()
     ev = attack(params, x)

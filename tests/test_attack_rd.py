@@ -190,6 +190,76 @@ def test_split_eval_matches_single_program():
             module,
             RDAttackConfig(steps=2, split_eval=True, phase_space_loss=False),
         )
+    # debug_model would silently change split_eval's piecewise-eval clamping
+    # semantics vs the single-program path (ADVICE r3) — reject it
+    with pytest.raises(ValueError, match="debug_model"):
+        make_attack_fn(
+            module,
+            RDAttackConfig(steps=2, split_eval=True, phase_space_loss=True,
+                           debug_model=True),
+        )
+
+
+def test_best_of_restarts_host_loops_split_eval():
+    """best_of_restarts must NOT vmap a split_eval attack (vmap would inline
+    the two jitted programs back into one, forfeiting the per-program HBM
+    peak — ADVICE r3); the host loop must still return the highest-VI
+    restart, matching the vmapped single-program result."""
+    from imagecompression_adversarial_tpu.attacks import best_of_restarts
+
+    module = init_model("hyper", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    split = make_attack_fn(
+        module,
+        RDAttackConfig(steps=4, phase_space_loss=True, split_eval=True,
+                       random_restarts=2),
+    )
+    assert split.eval_jit is not None  # the host-loop trigger
+    best_split = best_of_restarts(split, params, x, keys)
+
+    # the host loop must return exactly the highest-VI individual restart
+    singles = [split(params, x, k) for k in keys]
+    winner = max(range(len(singles)), key=lambda i: float(singles[i]["vi"]))
+    np.testing.assert_allclose(
+        float(best_split["vi"]), float(singles[winner]["vi"]), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(best_split["im_"]), np.asarray(singles[winner]["im_"])
+    )
+    # and agree with the vmapped single-program selection on the metric
+    one = make_attack_fn(
+        module,
+        RDAttackConfig(steps=4, phase_space_loss=True, random_restarts=2),
+    )
+    best_one = best_of_restarts(one, params, x, keys)
+    np.testing.assert_allclose(
+        float(best_split["vi"]), float(best_one["vi"]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_forced_phase_loss_capability_raise_everywhere():
+    """The supports_phase_synthesis gate must fire in every attack-builder
+    entry point, not just make_attack_fn (ADVICE r3: make_ifgsm_fn /
+    make_adv_example_fn used the flag unchecked)."""
+    import pytest
+
+    from imagecompression_adversarial_tpu.attacks import make_adv_example_fn
+    from imagecompression_adversarial_tpu.attacks.ifgsm import (
+        IFGSMConfig,
+        make_ifgsm_fn,
+    )
+
+    tic = init_model("tic", 1)
+    assert not getattr(tic, "supports_phase_synthesis")
+    with pytest.raises(ValueError, match="supports_phase_synthesis"):
+        make_ifgsm_fn(tic, IFGSMConfig(steps=2, phase_space_loss=True))
+    with pytest.raises(ValueError, match="supports_phase_synthesis"):
+        make_adv_example_fn(
+            tic, RDAttackConfig(steps=2, phase_space_loss=True)
+        )
 
 
 def test_phase_space_auto_resolution():
