@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from typing import List, Optional
 
 
@@ -72,6 +73,11 @@ class Config:
     # compile the attack scan and the evaluation as separate XLA programs
     # (megapixel single-chip attacks; RESULTS.md round 3)
     split_eval: bool = False
+    # persistent XLA compilation cache directory ('none' disables); makes a
+    # re-run of any CLI skip its multi-minute first compile entirely
+    compile_cache: str = os.environ.get(
+        "ICAT_COMPILE_CACHE", "~/.cache/icat/xla"
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -151,6 +157,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split_eval", dest="split_eval", action="store_true",
                    help="attack scan and eval as separate XLA programs "
                         "(megapixel single-chip attacks)")
+    p.add_argument("-compile_cache", dest="compile_cache", type=str,
+                   default=d.compile_cache,
+                   help="persistent XLA compilation cache dir ('none' "
+                        "disables); re-runs skip the first-compile wait")
     return p
 
 
@@ -164,6 +174,7 @@ def apply_precision(cfg: Config) -> None:
     """Set the global platform + matmul precision knobs before compilation."""
     import jax
 
+    _setup_compile_cache(cfg.compile_cache)
     if cfg.device in ("cpu", "tpu"):
         # the sandbox site-hook forces platforms to "axon,cpu"; -device cpu
         # pins the host backend explicitly
@@ -180,3 +191,31 @@ def apply_precision(cfg: Config) -> None:
         "default": "default",
     }
     jax.config.update("jax_default_matmul_precision", mapping.get(cfg.precision, "highest"))
+
+
+def _setup_compile_cache(path: Optional[str]) -> None:
+    """Point XLA's persistent compilation cache at ``path``.
+
+    Long programs here are compile-bound on first run (the 1001-step attack
+    scan is ~3-4 min, the 12.6 MP split attack ~32 min — RESULTS.md), and the
+    in-memory jit cache dies with the process.  The persistent cache stores
+    serialized executables keyed by (HLO, compile options, backend version),
+    so a second process re-running the same CLI skips straight to execution.
+    Only programs that took >5 s to compile are written — microbenchmarks and
+    test-suite programs never touch the disk.  Disable with
+    ``-compile_cache none`` (or ``ICAT_COMPILE_CACHE=none``).
+    """
+    if not path or path.lower() in ("none", "off"):
+        return
+    import os
+
+    import jax
+
+    full = os.path.abspath(os.path.expanduser(path))
+    try:
+        os.makedirs(full, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", full)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except (OSError, AttributeError, ValueError):
+        # unwritable dir or a jax build without the knob: run uncached
+        pass

@@ -63,3 +63,24 @@ def test_reference_flag_spellings_parse():
     )
     assert cfg.model == "hyper" and cfg.quality == 2
     assert cfg.steps == 101 and not cfg.clamp
+
+
+def test_compile_cache_flag(tmp_path):
+    """-compile_cache points XLA's persistent cache at the dir; 'none' is a
+    no-op (the knob keeps its previous value)."""
+    import jax
+
+    from imagecompression_adversarial_tpu.config import (
+        apply_precision,
+        parse_config,
+    )
+
+    target = tmp_path / "xla_cache"
+    cfg = parse_config(["-compile_cache", str(target)])
+    apply_precision(cfg)
+    assert jax.config.jax_compilation_cache_dir == str(target)
+    assert target.is_dir()
+
+    # 'none' must not touch the global knob (and must not crash)
+    apply_precision(parse_config(["-compile_cache", "none"]))
+    assert jax.config.jax_compilation_cache_dir == str(target)
