@@ -6,7 +6,7 @@ Image Compression: Adversarial Attack and Model Finetuning") plus the
 CompressAI codec stack it depends on.
 
 Layering (cf. SURVEY.md §1):
-  ops/       bound-STEs, quantizers, Pallas kernels       (ref: utils/ops.py)
+  ops/       bound-STEs, quantizers (custom_vjp)           (ref: utils/ops.py)
   entropy/   factorized + conditional-Gaussian models     (ref: CompressAI entropy models)
   models/    codec families factorized/hyper/context/
              cheng2020/debug                              (ref: anchors/model.py)
