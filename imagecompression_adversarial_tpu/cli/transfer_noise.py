@@ -46,7 +46,21 @@ def run(cfg, source2=None, cross_model=False, cross_specs=None) -> np.ndarray:
         for arch, q, ck in specs:
             c = dataclasses.replace(cfg, model=arch, quality=q, checkpoint=ck)
             module, params = load_model(c)
-            attacks.append((make_attack_fn(module, RDAttackConfig(**att_kwargs)), params))
+            if arch == "fic":
+                # fic's zero-init noise sits at an exact critical point
+                # (models/fic.py attack note): as a transfer SOURCE it would
+                # contribute all-zero noise rows.  Use the uniform init the
+                # reference itself falls back to (attack_fic.py:58-59), via
+                # a fixed key for a deterministic matrix.
+                import jax
+
+                inner = make_attack_fn(
+                    module, RDAttackConfig(**att_kwargs, random_restarts=2)
+                )
+                afn = lambda p, x, _f=inner: _f(p, x, jax.random.PRNGKey(0))
+            else:
+                afn = make_attack_fn(module, RDAttackConfig(**att_kwargs))
+            attacks.append((afn, params))
             evals.append((make_transfer_eval_fn(module), params))
             labels.append(f"{arch}-q{q}")
         images = [read_image(f)[0] for f in list_images(cfg.source)]

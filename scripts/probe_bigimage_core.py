@@ -26,8 +26,10 @@ def main():
         RDAttackConfig,
         make_attack_fn,
     )
+    from imagecompression_adversarial_tpu.config import Config, _setup_compile_cache
     from imagecompression_adversarial_tpu.models import init_model, init_params
 
+    _setup_compile_cache(Config().compile_cache)  # megapixel compiles are minutes
     cfg = RDAttackConfig(steps=steps, phase_space_loss=True, split_eval=True)
     module = init_model("hyper", 1)
     params = init_params(module, jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
