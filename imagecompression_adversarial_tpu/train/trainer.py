@@ -150,8 +150,18 @@ def train(cfg: Config, data_root: Optional[str] = None,
                     jax.block_until_ready(logs["loss"])
                 print(f"[trace] jax.profiler trace written to {cfg.trace}")
             else:
+                if not logs:  # first call: compile blocks for minutes on big families
+                    print("compiling train step (first batch)...", flush=True)
                 state, logs = jitted_step(state, batch, step_rng, jnp.float32(sched.lr))
             global_step += 1
+
+            # light progress line between (expensive) eval points, so short
+            # demo runs don't sit silent for their whole duration
+            if global_step % 200 == 0:
+                print(
+                    f"step: {global_step} loss: {float(logs['loss']):.4f} "
+                    f"t: {time.time() - t0:.1f}s", flush=True,
+                )
 
             # NOTE --adv eval cost: eval_attack compiles ONCE (jitted), but
             # each eval still RUNS a full cfg.steps-iteration attack on the
