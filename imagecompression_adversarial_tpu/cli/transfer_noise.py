@@ -49,15 +49,21 @@ def run(cfg, source2=None, cross_model=False, cross_specs=None) -> np.ndarray:
             if arch == "fic":
                 # fic's zero-init noise sits at an exact critical point
                 # (models/fic.py attack note): as a transfer SOURCE it would
-                # contribute all-zero noise rows.  Use the uniform init the
-                # reference itself falls back to (attack_fic.py:58-59), via
-                # a fixed key for a deterministic matrix.
+                # contribute all-zero noise rows.  Run a genuine best-of-2
+                # restart (uniform(±1e-2) init per key, highest VI kept) so
+                # the row is comparable to `-random 2` attack_rd runs; the
+                # reference's own random init exists only as a commented-out
+                # line (attack_fic.py:58-59) and its live init is zeros.
                 import jax
+
+                from ..attacks import best_of_restarts
 
                 inner = make_attack_fn(
                     module, RDAttackConfig(**att_kwargs, random_restarts=2)
                 )
-                afn = lambda p, x, _f=inner: _f(p, x, jax.random.PRNGKey(0))
+                afn = lambda p, x, _f=inner: best_of_restarts(
+                    _f, p, x, jax.random.split(jax.random.PRNGKey(0), 2)
+                )
             else:
                 afn = make_attack_fn(module, RDAttackConfig(**att_kwargs))
             attacks.append((afn, params))

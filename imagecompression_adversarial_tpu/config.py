@@ -75,8 +75,10 @@ class Config:
     split_eval: bool = False
     # persistent XLA compilation cache directory ('none' disables); makes a
     # re-run of any CLI skip its multi-minute first compile entirely
-    compile_cache: str = os.environ.get(
-        "ICAT_COMPILE_CACHE", "~/.cache/icat/xla"
+    compile_cache: str = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "ICAT_COMPILE_CACHE", "~/.cache/icat/xla"
+        )
     )
 
 
@@ -214,8 +216,10 @@ def _setup_compile_cache(path: Optional[str]) -> None:
     full = os.path.abspath(os.path.expanduser(path))
     try:
         os.makedirs(full, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", full)
+        # threshold first: if this jax build lacks the knob, the except leaves
+        # the cache fully OFF rather than active at jax's ~1s default
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_compilation_cache_dir", full)
     except (OSError, AttributeError, ValueError):
         # unwritable dir or a jax build without the knob: run uncached
         pass

@@ -67,7 +67,14 @@ def test_reference_flag_spellings_parse():
 
 def test_compile_cache_flag(tmp_path):
     """-compile_cache points XLA's persistent cache at the dir; 'none' is a
-    no-op (the knob keeps its previous value)."""
+    no-op (the knob keeps its previous value).
+
+    `-device cpu` keeps apply_precision from undoing conftest's CPU pin
+    (ADVICE r4: the default 'tpu' would re-enable the axon backend for the
+    rest of the session).  The prior cache-dir value is restored afterwards
+    so slow tests later in the session stay uncached (conftest keeps the
+    persistent cache off deliberately).
+    """
     import jax
 
     from imagecompression_adversarial_tpu.config import (
@@ -75,12 +82,16 @@ def test_compile_cache_flag(tmp_path):
         parse_config,
     )
 
+    prev = jax.config.jax_compilation_cache_dir
     target = tmp_path / "xla_cache"
-    cfg = parse_config(["-compile_cache", str(target)])
-    apply_precision(cfg)
-    assert jax.config.jax_compilation_cache_dir == str(target)
-    assert target.is_dir()
+    try:
+        cfg = parse_config(["-device", "cpu", "-compile_cache", str(target)])
+        apply_precision(cfg)
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        assert target.is_dir()
 
-    # 'none' must not touch the global knob (and must not crash)
-    apply_precision(parse_config(["-compile_cache", "none"]))
-    assert jax.config.jax_compilation_cache_dir == str(target)
+        # 'none' must not touch the global knob (and must not crash)
+        apply_precision(parse_config(["-device", "cpu", "-compile_cache", "none"]))
+        assert jax.config.jax_compilation_cache_dir == str(target)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
