@@ -33,12 +33,14 @@ def run(cfg) -> dict:
 
     out = codec.compress(im)
     real_bpp = codec.real_bpp(out, num_pixels)
+    # entropy floor of the actual coded symbols under the actual CDF rows —
+    # available for EVERY family, including the sequential AR paths
+    ideal_bpp = out["ideal_bits"] / num_pixels
     x_hat = codec.decompress(out["strings"], out["shape"])
 
     result = module.apply({"params": params}, jnp.asarray(im),
                           quant_mode="dequantize")
     est_bpp = float(bpp_from_likelihoods(result["likelihoods"], num_pixels))
-    table_bpp = codec.table_bpp(im, num_pixels)  # None for context families
     p = float(psnr(jnp.asarray(x_hat), jnp.asarray(im)))
 
     if cfg.target:
@@ -50,15 +52,16 @@ def run(cfg) -> dict:
                 f.write(struct.pack("<I", len(s)))
                 f.write(s)
 
-    tb = "" if table_bpp is None else f"table_bpp {table_bpp:.4f} "
+    # three-way split: real - ideal = rANS coder overhead;
+    # est - ideal = estimator/table calibration error
     print(
         f"{cfg.source}: real_bpp {real_bpp:.4f} est_bpp {est_bpp:.4f} "
-        f"{tb}psnr {p:.2f}"
+        f"ideal_bpp {ideal_bpp:.4f} psnr {p:.2f}"
     )
     return {
         "real_bpp": real_bpp,
         "est_bpp": est_bpp,
-        "table_bpp": table_bpp,
+        "ideal_bpp": ideal_bpp,
         "psnr": p,
     }
 

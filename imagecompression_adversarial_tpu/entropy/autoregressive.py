@@ -35,7 +35,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .rans import StreamingDecoder, encode_with_indexes
-from .tables import build_gmm_cdf_rows, gc_build_indexes
+from .tables import build_gmm_cdf_rows, gc_build_indexes, ideal_bits
 
 
 def _leaky(x):
@@ -197,9 +197,12 @@ def ar_encode(
     hyper_params: np.ndarray,
     weights: ARWeights,
     gc_tables: Dict,
+    stats: Optional[Dict] = None,
 ) -> bytes:
     """Wavefront-encode y (h, w, M) given h_s output (h, w, F);
-    single-Gaussian (table-indexed) path."""
+    single-Gaussian (table-indexed) path.  When ``stats`` is given, records
+    ``stats['ideal_bits']``: the entropy floor of exactly these symbols
+    under exactly these table rows (the AR-family est-vs-real audit)."""
     run = _WavefrontRunner(hyper_params, weights)
     table = gc_tables["scale_table"]
     symbols: List[np.ndarray] = []
@@ -211,9 +214,16 @@ def ar_encode(
         run.place(iis, jjs, sym + means)
         symbols.append(sym.ravel())
         indexes.append(idx.ravel())
+    symbols_flat = np.concatenate(symbols)
+    indexes_flat = np.concatenate(indexes)
+    if stats is not None:
+        stats["ideal_bits"] = ideal_bits(
+            symbols_flat, indexes_flat, gc_tables["cdfs"],
+            gc_tables["cdf_sizes"], gc_tables["offsets"],
+        )
     return encode_with_indexes(
-        np.concatenate(symbols),
-        np.concatenate(indexes),
+        symbols_flat,
+        indexes_flat,
         gc_tables["cdfs"],
         gc_tables["cdf_sizes"],
         gc_tables["offsets"],
@@ -247,10 +257,12 @@ def ar_encode_gmm(
     y: np.ndarray,
     hyper_params: np.ndarray,
     weights: ARWeights,
+    stats: Optional[Dict] = None,
 ) -> bytes:
     """Wavefront-encode with per-pixel Gaussian-mixture CDFs built on the
     fly.  GMM symbols are plain round(y) (the estimation path quantizes
-    means-free, `models/codecs.py::Cheng2020AttnGMM`)."""
+    means-free, `models/codecs.py::Cheng2020AttnGMM`).  ``stats`` as in
+    :func:`ar_encode` (per-symbol rows, so indexes are the identity)."""
     assert weights.gmm_k > 0
     run = _WavefrontRunner(hyper_params, weights)
     symbols: List[np.ndarray] = []
@@ -276,12 +288,15 @@ def ar_encode_gmm(
         if s < stride:
             cdfs[pos : pos + r, s:] = rows[:, -1:]
         pos += r
+    sizes_flat = np.concatenate(all_sizes)
+    offsets_flat = np.concatenate(all_offsets)
+    idx = np.arange(symbols_flat.size, dtype=np.int32)
+    if stats is not None:
+        stats["ideal_bits"] = ideal_bits(
+            symbols_flat, idx, cdfs, sizes_flat, offsets_flat
+        )
     return encode_with_indexes(
-        symbols_flat,
-        np.arange(symbols_flat.size, dtype=np.int32),
-        cdfs,
-        np.concatenate(all_sizes),
-        np.concatenate(all_offsets),
+        symbols_flat, idx, cdfs, sizes_flat, offsets_flat
     )
 
 

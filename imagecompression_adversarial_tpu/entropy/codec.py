@@ -31,7 +31,12 @@ from .autoregressive import (
     ar_encode_gmm,
 )
 from .gaussian import default_scale_table
-from .tables import build_eb_tables, build_gc_tables, gc_build_indexes
+from .tables import (
+    build_eb_tables,
+    build_gc_tables,
+    gc_build_indexes,
+    ideal_bits,
+)
 
 
 class RealCodec:
@@ -112,8 +117,9 @@ class RealCodec:
 
     # ------------------------------------------------------------------ EB
 
-    def _eb_encode(self, z: np.ndarray) -> Tuple[bytes, np.ndarray]:
-        """Encode NHWC latents with the factorized model (channel-indexed)."""
+    def _eb_encode(self, z: np.ndarray) -> Tuple[bytes, np.ndarray, float]:
+        """Encode NHWC latents with the factorized model (channel-indexed).
+        Returns (string, z_hat, ideal_bits-of-these-symbols)."""
         t = self.eb_tables
         c = z.shape[-1]
         medians = t["medians"].reshape(1, 1, 1, c)
@@ -124,8 +130,11 @@ class RealCodec:
         string = rans.encode_with_indexes(
             symbols.ravel(), indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
         )
+        bits = ideal_bits(
+            symbols, indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
+        )
         z_hat = symbols.astype(np.float32) + medians
-        return string, z_hat
+        return string, z_hat, bits
 
     def _eb_decode(self, string: bytes, shape) -> np.ndarray:
         t = self.eb_tables
@@ -161,9 +170,11 @@ class RealCodec:
             scales[..., None], means[..., None], zeros[..., None]
         )
 
-    def _context4_encode(self, y: np.ndarray, hyper_feats) -> bytes:
+    def _context4_encode(self, y: np.ndarray, hyper_feats,
+                         stats: Optional[Dict] = None) -> bytes:
         """One full context pass; phase masking guarantees the params match
-        the decoder's progressive passes bitwise (`models/fic.py:20-28`)."""
+        the decoder's progressive passes bitwise (`models/fic.py:20-28`).
+        ``stats['ideal_bits']`` records the entropy floor of these symbols."""
         y_q = np.round(y).astype(np.float32)
         scales, means = (
             np.asarray(a) for a in self._context(jnp.asarray(y_q), hyper_feats)
@@ -187,12 +198,15 @@ class RealCodec:
             if s < stride:
                 cdfs[pos : pos + n, s:] = r[:, -1:]
             pos += n
+        sizes_flat = np.concatenate(sizes)
+        offs_flat = np.concatenate(offs)
+        idx = np.arange(symbols_flat.size, dtype=np.int32)
+        if stats is not None:
+            stats["ideal_bits"] = ideal_bits(
+                symbols_flat, idx, cdfs, sizes_flat, offs_flat
+            )
         return rans.encode_with_indexes(
-            symbols_flat,
-            np.arange(symbols_flat.size, dtype=np.int32),
-            cdfs,
-            np.concatenate(sizes),
-            np.concatenate(offs),
+            symbols_flat, idx, cdfs, sizes_flat, offs_flat
         )
 
     def _context4_decode(self, string: bytes, hyper_feats, h: int, w: int,
@@ -225,29 +239,47 @@ class RealCodec:
     # ------------------------------------------------------------ public
 
     def compress(self, x) -> Dict:
-        """x: (1, H, W, 3) in [0,1] -> {"strings": [...], "shape": (h, w)}."""
+        """x: (1, H, W, 3) in [0,1] -> {"strings": [...], "shape": (h, w),
+        "ideal_bits": float}.
+
+        ``ideal_bits`` is the entropy floor of exactly the symbols written,
+        under exactly the CDF rows they were coded with — for EVERY family,
+        including the sequential AR paths (the encoder holds the exact CDF
+        row per symbol at encode time, so the audit is free).  real bytes*8
+        minus this is rANS overhead; the model's differentiable ``est_bpp``
+        minus this/num_pixels is table/estimator calibration error (the
+        reference's estimate-vs-compress() duality,
+        `/root/reference/anchors/model.py:86-108` vs `attack_TIC.py:106-116`).
+        """
         y = np.asarray(self._g_a(jnp.asarray(x)))
         if self.is_factorized:
-            y_string, _ = self._eb_encode(y)
-            return {"strings": [y_string], "shape": y.shape[1:3]}
+            y_string, _, y_bits = self._eb_encode(y)
+            return {"strings": [y_string], "shape": y.shape[1:3],
+                    "ideal_bits": y_bits}
 
         z = np.asarray(self._h_a(jnp.asarray(y)))
-        z_string, z_hat = self._eb_encode(z)
+        z_string, z_hat, z_bits = self._eb_encode(z)
+        st: Dict = {}
 
         if self.is_context:
             hyper_params = np.asarray(self._h_s(jnp.asarray(z_hat)))
             if self.is_gmm:
-                y_string = ar_encode_gmm(y[0], hyper_params[0], self.ar_weights)
+                y_string = ar_encode_gmm(
+                    y[0], hyper_params[0], self.ar_weights, stats=st
+                )
             else:
                 y_string = ar_encode(
-                    y[0], hyper_params[0], self.ar_weights, self.gc_tables
+                    y[0], hyper_params[0], self.ar_weights, self.gc_tables,
+                    stats=st,
                 )
-            return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
+            return {"strings": [y_string, z_string], "shape": z.shape[1:3],
+                    "ideal_bits": st["ideal_bits"] + z_bits}
 
         if self.is_context4:
             hyper_feats = self._h_s(jnp.asarray(z_hat))
-            y_string = self._context4_encode(y, hyper_feats)
-            return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
+            y_string = self._context4_encode(y, hyper_feats, stats=st)
+            return {"strings": [y_string, z_string], "shape": z.shape[1:3],
+                    "ideal_bits": st["ideal_bits"] + z_bits}
 
         gp = np.asarray(self._h_s(jnp.asarray(z_hat)))
         t = self.gc_tables
@@ -261,7 +293,11 @@ class RealCodec:
         y_string = rans.encode_with_indexes(
             symbols, indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
         )
-        return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
+        y_bits = ideal_bits(
+            symbols, indexes, t["cdfs"], t["cdf_sizes"], t["offsets"]
+        )
+        return {"strings": [y_string, z_string], "shape": z.shape[1:3],
+                "ideal_bits": y_bits + z_bits}
 
     def decompress(self, strings: List[bytes], shape) -> np.ndarray:
         """Inverse of compress; returns the reconstruction in [0,1]."""
@@ -317,36 +353,9 @@ class RealCodec:
     def real_bpp(self, result: Dict, num_pixels: int) -> float:
         return sum(len(s) for s in result["strings"]) * 8.0 / num_pixels
 
-    @staticmethod
-    def _ideal_bits(symbols, indexes, cdfs, cdf_sizes, offsets) -> float:
-        """Ideal bit cost of coding ``symbols`` with the exact CDF rows and
-        escape/bypass scheme the rANS coder runs (`native/rans/rans.cc:
-        132-167`): in-alphabet symbols cost -log2 of their quantized slot
-        probability; out-of-range symbols cost the escape slot plus 4-bit
-        bypass chunks (15 per chunk, continuation-coded).  Real bytes minus
-        this is pure rANS quantization/flush overhead."""
-        from .tables import PRECISION
-
-        symbols = np.asarray(symbols).ravel()
-        indexes = np.asarray(indexes).ravel()
-        sizes = cdf_sizes[indexes]
-        max_sym = sizes - 1  # escape slot id per row (rans.cc:136)
-        value = symbols - offsets[indexes]  # alphabet space (rans.cc:137)
-        neg = value < 0
-        pos = value >= max_sym
-        bypass_val = np.where(
-            neg, -2 * value - 1, np.where(pos, 2 * (value - max_sym), 0)
-        )
-        slot = np.where(neg | pos, max_sym, value)
-        rows = cdfs[indexes]
-        ar = np.arange(slot.size)
-        p = (rows[ar, slot + 1].astype(np.float64) - rows[ar, slot]) / float(
-            1 << PRECISION
-        )
-        bits = -np.log2(np.maximum(p, 2.0 ** -PRECISION))
-        # 4-bit chunks of value 15 continue; the final chunk (< 15) stops
-        bits += np.where(neg | pos, 4.0 * (bypass_val // 15 + 1), 0.0)
-        return float(bits.sum())
+    # kept as a method alias: the audit math lives in tables.ideal_bits so
+    # the AR encoders can use it without importing this module
+    _ideal_bits = staticmethod(ideal_bits)
 
     def table_bpp(self, x, num_pixels: int) -> Optional[float]:
         """Entropy floor (bits/pixel) of exactly the symbols ``compress``
@@ -355,8 +364,11 @@ class RealCodec:
         clamp-aware estimate VERDICT r3 asked for — ``real_bpp`` minus this
         is coder overhead, and the model's forward ``est_bpp`` minus this
         is scale-table calibration error.  Only the one-shot hyperprior
-        paths (scale-only / mean-scale) are supported; context/AR families
-        return None (their CDFs depend on sequential decode state)."""
+        paths (scale-only / mean-scale) are supported WITHOUT a compress
+        call; context/AR families return None here because their CDFs
+        depend on sequential decode state — for those, use the
+        ``ideal_bits`` field ``compress()`` now returns (same audit,
+        computed from the exact per-symbol rows at encode time)."""
         if self.is_factorized or self.is_context or self.is_context4:
             return None
         y = np.asarray(self._g_a(jnp.asarray(x)))

@@ -252,3 +252,42 @@ def gc_build_indexes(scales: np.ndarray, scale_table: np.ndarray) -> np.ndarray:
     (CompressAI convention); scales floored at SCALE_BOUND."""
     scales = np.maximum(np.asarray(scales, np.float64), SCALE_BOUND)
     return np.searchsorted(scale_table[:-1], scales, side="left").astype(np.int32)
+
+
+def ideal_bits(symbols, indexes, cdfs, cdf_sizes, offsets) -> float:
+    """Ideal bit cost of coding ``symbols`` with the exact CDF rows and
+    escape/bypass scheme the rANS coder runs (`native/rans/rans.cc:132-167`):
+    in-alphabet symbols cost -log2 of their quantized slot probability;
+    out-of-range symbols cost the escape slot plus 4-bit bypass chunks
+    (15 per chunk, continuation-coded).  Real bytes minus this is rANS
+    integer-arithmetic noise plus flush; the model's differentiable rate
+    estimate minus this is table calibration error.  Works for precomputed
+    table rows (indexes select rows) and per-symbol rows (indexes = arange)
+    alike — the AR-family audit VERDICT r4 #3 asked for.
+
+    NOT a strict floor: with 16-bit probabilities and L = 2^16, the
+    truncating state update ``floor(state/freq) << 16`` can spend up to ~1
+    bit LESS than -log2(p_quantized) on a high-probability symbol for a
+    specific realization (measured ~-0.05 bits/symbol on a peaked random-
+    weight stream; Kraft holds in expectation, not per-sequence).  Treat
+    real-vs-ideal deviations beyond ~1-2% as structural."""
+    symbols = np.asarray(symbols).ravel()
+    indexes = np.asarray(indexes).ravel()
+    sizes = cdf_sizes[indexes]
+    max_sym = sizes - 1  # escape slot id per row (rans.cc:136)
+    value = symbols - offsets[indexes]  # alphabet space (rans.cc:137)
+    neg = value < 0
+    pos = value >= max_sym
+    bypass_val = np.where(
+        neg, -2 * value - 1, np.where(pos, 2 * (value - max_sym), 0)
+    )
+    slot = np.where(neg | pos, max_sym, value)
+    rows = cdfs[indexes]
+    ar = np.arange(slot.size)
+    p = (rows[ar, slot + 1].astype(np.float64) - rows[ar, slot]) / float(
+        1 << PRECISION
+    )
+    bits = -np.log2(np.maximum(p, 2.0 ** -PRECISION))
+    # 4-bit chunks of value 15 continue; the final chunk (< 15) stops
+    bits += np.where(neg | pos, 4.0 * (bypass_val // 15 + 1), 0.0)
+    return float(bits.sum())

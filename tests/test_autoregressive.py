@@ -124,7 +124,7 @@ def test_realcodec_gmm_roundtrip():
 
     y = np.asarray(codec._g_a(jnp.asarray(x)))
     z = np.asarray(codec._h_a(jnp.asarray(y)))
-    _, z_hat = codec._eb_encode(z)
+    _, z_hat, _ = codec._eb_encode(z)
     hyper = np.asarray(codec._h_s(jnp.asarray(z_hat)))
     string = ar_encode_gmm(y[0], hyper[0], codec.ar_weights)
     y_dec = ar_decode_gmm(string, hyper[0], codec.ar_weights)
@@ -203,3 +203,32 @@ def test_context4_phase_schedule_matches_masks():
         assert not (seen & m).any()
         seen |= m
     assert seen.all()
+
+
+@pytest.mark.parametrize(
+    "arch", ["factorized", "hyper", "tic", "context", "cheng2020-gmm", "fic"]
+)
+def test_compress_reports_ideal_bits(arch):
+    """Every family's compress() reports the entropy floor of the coded
+    symbols (VERDICT r4 #3: the AR families must audit est-vs-real too).
+    real bytes must sit above the floor by only rANS/flush overhead, and
+    for the one-shot paths the floor must equal table_bpp exactly."""
+    from imagecompression_adversarial_tpu.entropy.codec import RealCodec
+
+    module = init_model(arch, 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    codec = RealCodec(module, params)
+    x = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)), np.float32
+    )
+    out = codec.compress(x)
+    ideal = out["ideal_bits"]
+    real_bits = sum(len(s) for s in out["strings"]) * 8.0
+    assert ideal > 0
+    # two-sided: rANS integer-state arithmetic can land ~1-2% either side
+    # of the model sum (tables.ideal_bits docstring) plus per-stream flush
+    assert abs(real_bits - ideal) < 0.02 * ideal + 40 * 8
+
+    table = codec.table_bpp(x, 64 * 64)
+    if table is not None:  # one-shot paths: identical accounting
+        np.testing.assert_allclose(ideal / (64 * 64), table, rtol=1e-9)

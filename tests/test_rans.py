@@ -144,8 +144,10 @@ class TestRealCodec:
         real = codec.real_bpp(out, num_pixels)
         table = codec.table_bpp(x, num_pixels)
         assert table is not None
-        assert real >= table - 1e-6  # floor property
-        assert real - table < 0.08  # pure rANS/flush overhead, not structural
+        # near-floor: rANS integer arithmetic can dip ~1% below the model
+        # sum per-realization (tables.ideal_bits docstring)
+        assert real >= table * 0.98 - 1e-6
+        assert real - table < 0.08  # rANS/flush overhead, not structural
         ref = module.apply({"params": params}, jnp.asarray(x),
                            quant_mode="dequantize")
         est = float(bpp_from_likelihoods(ref["likelihoods"], num_pixels))
