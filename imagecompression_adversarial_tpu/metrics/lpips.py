@@ -31,7 +31,13 @@ import numpy as np
 
 class AlexFeatureNet(nn.Module):
     """AlexNet-shaped feature trunk: returns the post-ReLU activations of
-    the five conv stages (the taps LPIPS(alex) uses)."""
+    the five conv stages (the taps LPIPS(alex) uses).
+
+    ``in_shift``/``in_scale`` mirror the lpips package's ScalingLayer
+    (per-channel input normalization applied BEFORE conv0 and hence before
+    its zero padding — folding it into conv0 would be wrong at borders);
+    they initialize to identity (0/1) so random-init behavior is unchanged,
+    and `io.convert_lpips` fills them from a real checkpoint."""
 
     widths: Sequence[int] = (64, 192, 384, 256, 256)
 
@@ -39,6 +45,9 @@ class AlexFeatureNet(nn.Module):
     def __call__(self, x) -> List[jax.Array]:
         feats = []
         w = self.widths
+        shift = self.param("in_shift", nn.initializers.zeros, (3,))
+        scale = self.param("in_scale", nn.initializers.ones, (3,))
+        x = (x - shift) / scale
         x = nn.relu(nn.Conv(w[0], (11, 11), strides=(4, 4), padding=((2, 2), (2, 2)),
                             name="conv0")(x))
         feats.append(x)
@@ -109,3 +118,25 @@ def lpips_fn_from_params(params) -> Callable:
         return module.apply({"params": p}, a, b)
 
     return distance
+
+
+def alex_feature_fn_from_params(params, layer: int = -1) -> Callable:
+    """(N, H, W, 3) [0,1] -> (N, C) pooled trunk activations: an FID/KID
+    feature extractor (`metrics.fid` feature_fn) backed by the same
+    AlexFeatureNet, so converted real weights (`io.convert_lpips`) serve
+    the distribution metrics too (VERDICT r4 #8).  ``params`` is either a
+    full LPIPS pytree (its 'features' subtree is used) or a bare trunk."""
+    module = AlexFeatureNet()
+    trunk = params.get("features", params) if hasattr(params, "get") else params
+    params_np = jax.tree_util.tree_map(np.asarray, trunk)
+
+    @jax.jit
+    def _feats(x, p):
+        taps = module.apply({"params": p}, x * 2.0 - 1.0)
+        return jnp.mean(taps[layer], axis=(1, 2))
+
+    def features(x):
+        p = jax.tree_util.tree_map(jnp.asarray, params_np)
+        return np.asarray(_feats(jnp.asarray(x), p))
+
+    return features

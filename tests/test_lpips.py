@@ -69,3 +69,98 @@ def test_hific_generator_loss_accepts_lpips():
     total, logs = hific_generator_loss(result, target, fake_logits, perceptual_fn=fn)
     assert np.isfinite(float(total))
     assert float(logs["perceptual"]) > 0
+
+
+def test_converted_torch_weights_match_torch_replica():
+    """VERDICT r4 #8: exercise the converted-weights path with a FABRICATED
+    torch LPIPS(alex) state_dict (the parity_vs_compressai --self-test
+    trick): convert -> load -> assert parity against a torch replica of the
+    exact trunk+head formula, so real lpips weights drop in unchanged the
+    day egress exists."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from imagecompression_adversarial_tpu.io.convert_lpips import (
+        lpips_params_from_torch,
+    )
+    from imagecompression_adversarial_tpu.metrics.lpips import (
+        lpips_fn_from_params,
+    )
+
+    torch.manual_seed(0)
+    widths = [64, 192, 384, 256, 256]
+    kspecs = [(11, 4, 2), (5, 1, 2), (3, 1, 1), (3, 1, 1), (3, 1, 1)]
+    slices = ["net.slice1.0", "net.slice2.3", "net.slice3.6",
+              "net.slice4.8", "net.slice5.10"]
+    state = {
+        "scaling_layer.shift": torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1),
+        "scaling_layer.scale": torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1),
+    }
+    cin = 3
+    for name, w, (k, _, _) in zip(slices, widths, kspecs):
+        state[f"{name}.weight"] = torch.randn(w, cin, k, k) * 0.05
+        state[f"{name}.bias"] = torch.randn(w) * 0.05
+        cin = w
+    for i, w in enumerate(widths):
+        state[f"lin{i}.model.1.weight"] = torch.rand(1, w, 1, 1) * 0.1
+
+    def torch_trunk(x):  # x: (N, 3, H, W) in [-1, 1]
+        x = (x - state["scaling_layer.shift"]) / state["scaling_layer.scale"]
+        feats = []
+        for li, (name, (k, s, p)) in enumerate(zip(slices, kspecs)):
+            x = F.relu(F.conv2d(x, state[f"{name}.weight"],
+                                state[f"{name}.bias"], stride=s, padding=p))
+            feats.append(x)
+            if li in (0, 1):
+                x = F.max_pool2d(x, 3, 2)
+        return feats
+
+    def torch_lpips(a_nhwc, b_nhwc):
+        ta = torch.tensor(a_nhwc.transpose(0, 3, 1, 2)) * 2.0 - 1.0
+        tb = torch.tensor(b_nhwc.transpose(0, 3, 1, 2)) * 2.0 - 1.0
+        total = torch.tensor(0.0)
+        for i, (xa, xb) in enumerate(zip(torch_trunk(ta), torch_trunk(tb))):
+            na = xa * (xa * xa).sum(1, keepdim=True).add(1e-10).rsqrt()
+            nb = xb * (xb * xb).sum(1, keepdim=True).add(1e-10).rsqrt()
+            w = state[f"lin{i}.model.1.weight"].abs().view(1, -1, 1, 1)
+            total = total + (w * (na - nb) ** 2).sum(1).mean()
+        return float(total)
+
+    params = lpips_params_from_torch(state)
+    fn = lpips_fn_from_params(params)
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(2, 64, 64, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(2, 64, 64, 3).astype(np.float32) * 0.05, 0, 1)
+    ours = float(fn(a, b))
+    ref = torch_lpips(a, b)
+    assert abs(ours - ref) < 1e-4 + 1e-4 * abs(ref), (ours, ref)
+    # identical inputs -> zero distance through the converted weights too
+    assert float(fn(a, a)) < 1e-6
+
+
+def test_alex_feature_fn_serves_fid():
+    """The converted trunk doubles as the FID/KID feature extractor."""
+    import numpy as np
+
+    from imagecompression_adversarial_tpu.metrics.fid import frechet_distance
+    from imagecompression_adversarial_tpu.metrics.lpips import (
+        alex_feature_fn_from_params,
+        make_lpips_fn,
+        LPIPS,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    module = LPIPS()
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    fn = alex_feature_fn_from_params(params)
+    rng = np.random.RandomState(0)
+    a = rng.rand(8, 64, 64, 3).astype(np.float32)
+    feats = fn(a)
+    assert feats.shape == (8, 256) and np.isfinite(feats).all()
+    # FID(a, a) == 0 through the same extractor
+    fid_same = frechet_distance(feats, feats)
+    assert abs(fid_same) < 1e-4
