@@ -162,9 +162,14 @@ class RealCodec:
     def _gauss_cdf_rows(scales: np.ndarray, means: np.ndarray):
         """Per-symbol CDF rows for arbitrary-mean single Gaussians (fic codes
         means-free-rounded symbols, so the fractional mean shift lives in the
-        CDF row, like the GMM path)."""
+        CDF row, like the GMM path).  Scales are clamped into the same
+        [SCALE_BOUND, SCALES_MAX] grid the differentiable estimate uses
+        (`entropy/gaussian.py::gaussian_likelihood`), so est-vs-ideal
+        deviations are pure calibration, never clamp asymmetry."""
+        from .gaussian import SCALE_BOUND, SCALES_MAX
         from .tables import build_gmm_cdf_rows
 
+        scales = np.clip(scales, SCALE_BOUND, SCALES_MAX)
         zeros = np.zeros_like(scales)
         return build_gmm_cdf_rows(
             scales[..., None], means[..., None], zeros[..., None]

@@ -197,8 +197,14 @@ class FIC(CodecModel):
         )
         scales, means = self.context(y_hat, hyper_feats)
         rng_lik = _maybe_rng(self, quant_mode)
+        # means_free_round: the context4 real coder writes plain round(y)
+        # symbols (entropy/codec.py::_context4_encode), so the estimate must
+        # integrate the Gaussian over [round(y)-.5, round(y)+.5] — NOT over
+        # the mean-centered bin.  Mean-centered estimation under-reported
+        # the trained fic demo's wire rate by 43% (RESULTS.md round 5).
         _, y_lik = gaussian_conditional(
-            y, scales, means=means, quant_mode=quant_mode, key=rng_lik
+            y, scales, means=means, quant_mode=quant_mode, key=rng_lik,
+            means_free_round=True,
         )
         # fic decodes the un-quantized latent (ref `attack_fic.py:50,121`)
         x_hat = self.g_s(y)

@@ -44,6 +44,11 @@ timeout 5400 python -m imagecompression_adversarial_tpu.cli.codec \
   -m invcompress -q 3 -metric mse -ckpt /tmp/invcompress-q3-mse-synthetic.msgpack \
   -s /tmp/kodak_synth/small01.png -t /tmp/r5_invcompress_dec.png \
   2>&1 | tee logs/r5_codec_invcompress.log | tail -2
+# fic again under the means-free estimate fix (the 03:21 run pre-dates it)
+timeout 5400 python -m imagecompression_adversarial_tpu.cli.codec \
+  -m fic -q 3 -metric mse -ckpt ckpts/demo/fic-q3-mse-synthetic.msgpack \
+  -s /tmp/kodak_synth/small01.png -t /tmp/r5_fic_dec.png \
+  2>&1 | tee logs/r5_codec_fic.log | tail -2
 
 echo "######## [4/6] 12.6 MP twice in one process ########"
 timeout 10800 python scripts/r4_bigimage_twice.py \

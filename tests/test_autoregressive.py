@@ -232,3 +232,49 @@ def test_compress_reports_ideal_bits(arch):
     table = codec.table_bpp(x, 64 * 64)
     if table is not None:  # one-shot paths: identical accounting
         np.testing.assert_allclose(ideal / (64 * 64), table, rtol=1e-9)
+
+
+def test_fic_estimate_uses_means_free_symbols():
+    """fic's rate estimate must integrate the Gaussian over the bins of the
+    SYMBOLS THE CODER WRITES — plain round(y) (means-free), not the
+    mean-centered round the other conditional families use.  Mean-centered
+    estimation under-reported the trained fic demo's wire rate by 43%
+    (round-5 audit)."""
+    import jax.numpy as jnp
+
+    from imagecompression_adversarial_tpu.entropy.codec import RealCodec
+    from imagecompression_adversarial_tpu.entropy.gaussian import (
+        gaussian_likelihood,
+    )
+    from imagecompression_adversarial_tpu.metrics import bpp_from_likelihoods
+
+    module = init_model("fic", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)),
+            np.float32,
+        )
+    )
+    res = module.apply({"params": params}, x, quant_mode="dequantize")
+    expect = gaussian_likelihood(
+        jnp.round(res["y"]), res["scales_hat"], means=res["means_hat"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["likelihoods"]["y"]),
+        np.maximum(np.asarray(expect), 1e-9),  # forward's likelihood bound
+        rtol=1e-5,
+    )
+
+    # integration: the forward estimate now tracks the coder's own entropy
+    # floor (exact per-symbol CDF rows, both sides clamped to the same
+    # scale grid; z agrees to 4 decimals).  The residual on RANDOM weights
+    # is far-tail symbols: the estimate charges the 1e-9 likelihood floor
+    # (~30 bits) where the coder escape+bypass codes (~20 bits) — trained
+    # models rarely emit them (the pre-fix trained-fic gap was -43%; the
+    # on-chip post-fix number is the r5 codec audit).
+    codec = RealCodec(module, params)
+    out = codec.compress(np.asarray(x))
+    est = float(bpp_from_likelihoods(res["likelihoods"], 64 * 64))
+    ideal = out["ideal_bits"] / (64 * 64)
+    assert abs(est - ideal) / ideal < 0.25, (est, ideal)
