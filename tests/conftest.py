@@ -75,6 +75,12 @@ _SLOW_TESTS = {
     "test_remat_policies_agree",
     "test_row_sharded_forward_matches_single_device",
     "test_row_sharded_attack_matches_single_device",
+    # round-5 additions (codec inits / torch replicas are >5s on this host)
+    "test_compress_reports_ideal_bits",
+    "test_fic_estimate_uses_means_free_symbols",
+    "test_converted_torch_weights_match_torch_replica",
+    "test_alex_feature_fn_serves_fid",
+    "test_rate_distortion_loss_lpips_branch_differentiable",
     "test_batch_attack_vmap_matches_single",
     "test_best_of_restarts_picks_max_vi",
     "test_realcodec_context4_roundtrip",
