@@ -76,6 +76,15 @@ class RDAttackConfig:
     # single-chip fix.  Requires phase_space_loss (the scan must not
     # reference the full-res clean output).  Not vmappable.
     split_eval: bool = False
+    # how the two-phase loss branches (ref `attack_rd.py:332-379`):
+    # 'cond'   — lax.cond skips the forward on over-budget steps (round-1
+    #            choice; XLA conds insert operand copies each step — the
+    #            round-5 trace shows 48 copies/step, 1.26 ms/step busy)
+    # 'select' — always run the output phase, scalar jnp.where blend (the
+    #            lowering vmap produces anyway; after the first few steps
+    #            the attack is in the output phase at every step, so the
+    #            skipped forward never pays for the cond plumbing)
+    two_phase_impl: str = "cond"
 
 
 def remat_transform(cfg: "RDAttackConfig"):

@@ -121,6 +121,16 @@ def _attack_loss(
             loss_o = 1.0 - jnp.mean((output_s - output_) ** 2)
         return loss_o, loss_o
 
+    if cfg.two_phase_impl == "select" and cfg.att_metric != "ms-ssim":
+        # L2 input phase is just loss_i (already computed): always run the
+        # output phase and blend the SCALARS.  jnp.where's vjp masks the
+        # unselected branch, so gradients match lax.cond exactly; what
+        # disappears is the per-step cond plumbing (operand copies).
+        loss_o_val, _ = output_phase(None)
+        over = loss_i > cfg.noise_threshold
+        loss = jnp.where(over, loss_i, loss_o_val)
+        loss_o = jnp.where(over, jnp.asarray(0.0, loss_i.dtype), loss_o_val)
+        return loss, (loss_i, loss_o)
     loss, loss_o = jax.lax.cond(loss_i > cfg.noise_threshold, input_phase, output_phase, None)
     return loss, (loss_i, loss_o)
 

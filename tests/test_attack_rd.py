@@ -322,3 +322,36 @@ def test_cheng2020_and_nlaic_phase_matches_g_s():
         np.asarray(depth_to_space(phasen_nhwc)), np.asarray(fulln),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_two_phase_select_matches_cond():
+    """two_phase_impl='select' (scalar where-blend) must reproduce the
+    lax.cond attack exactly — same gradients (where's vjp masks the
+    unselected branch), same trajectory, same result."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecompression_adversarial_tpu.attacks import (
+        RDAttackConfig,
+        make_attack_fn,
+    )
+    from imagecompression_adversarial_tpu.models import init_model, init_params
+
+    module = init_model("hyper", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+
+    cfg = RDAttackConfig(steps=8, noise_threshold=1e-6)  # exercises BOTH phases
+    res_cond = make_attack_fn(module, cfg)(params, x)
+    res_sel = make_attack_fn(
+        module, dataclasses.replace(cfg, two_phase_impl="select")
+    )(params, x)
+    np.testing.assert_allclose(
+        np.asarray(res_cond["im_"]), np.asarray(res_sel["im_"]), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(res_cond["vi"]), float(res_sel["vi"]), rtol=1e-5
+    )
