@@ -85,14 +85,18 @@ def main(steps=STEPS, shape=(1, 512, 768, 3)):
     steps_per_sec = steps / dt
 
     # Sanity cross-check (VERDICT r4 #2): a full fwd+bwd attack step can
-    # never beat a forward-only scan of the same codec on the same chip.
-    # The scan is sequentialized through a scalar carry so XLA cannot hoist
-    # the loop-invariant forward (the round-2 DCE trap, CLAUDE.md).
+    # never beat a forward-only scan of the SAME in-loop computation on the
+    # same chip.  The attack's in-loop forward is g_a + the phase-space
+    # synthesis ONLY (no hyper path, no likelihoods — the quantization-free
+    # distortion loss needs neither), so the floor scans exactly that; a
+    # full-codec forward scan is ~15% slower and comparing against it
+    # raised a false SUSPECT (round-5 adjudication, RESULTS.md).  The scan
+    # is sequentialized through a scalar carry so XLA cannot hoist the
+    # loop-invariant forward (the round-2 DCE trap, CLAUDE.md).
     def fwd_only(noise0):
         def step(n, _):
-            out = module.apply(
-                {"params": params}, x + n, quant_mode="none"
-            )["x_hat"]
+            y = module.apply({"params": params}, x + n, method=module.g_a)
+            out = module.apply({"params": params}, y, method=module.g_s_phase)
             return n + 1e-6 * jnp.mean(out), None
 
         return jax.lax.scan(step, noise0, None, length=steps)[0]

@@ -579,17 +579,24 @@ def make_batch_attack_fn(module, cfg: RDAttackConfig):
     return jax.jit(batched)
 
 
-def best_of_restarts(attack_fn, params, x, keys):
+def best_of_restarts(attack_fn, params, x, keys, impl: str = "vmap"):
     """Random-restart wrapper: run `len(keys)` attacks and keep the
     highest-VI result (ref `attack_rd.py:658-664`).
 
+    ``impl='host'`` loops the restarts on the host (sequential single-image
+    programs) instead of vmapping them.  Use it when the vmapped program is
+    too big for the chip: the fic 768x512 best-of-2 attack reproducibly
+    dies with "TPU worker process crashed" (a libtpu fault, same class as
+    the round-2 8-wide ensemble crash — RESULTS.md), while the sequential
+    programs run fine.
+
     split_eval attacks (recognised by their exposed ``eval_jit`` stage) are
-    looped on the host instead of vmapped: vmap would inline the two jitted
-    subprograms into ONE traced computation, re-fusing the attack scan with
-    the full-resolution eval and forfeiting the per-program HBM peak that
+    ALWAYS host-looped: vmap would inline the two jitted subprograms into
+    ONE traced computation, re-fusing the attack scan with the
+    full-resolution eval and forfeiting the per-program HBM peak that
     split_eval exists to provide (e.g. a megapixel fic attack with
     ``-random 2`` would quietly reintroduce the OOM)."""
-    if getattr(attack_fn, "eval_jit", None) is not None:
+    if impl == "host" or getattr(attack_fn, "eval_jit", None) is not None:
         results = [attack_fn(params, x, k) for k in keys]
         best = max(range(len(results)), key=lambda i: float(results[i]["vi"]))
         return results[best]

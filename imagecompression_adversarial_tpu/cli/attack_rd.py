@@ -112,7 +112,9 @@ def run(cfg) -> dict:
             t0 = time.time()
             if cfg.random > 1:
                 keys = jax.random.split(jax.random.PRNGKey(n), cfg.random)
-                res = best_of_restarts(attack, params, im, keys)
+                res = best_of_restarts(
+                    attack, params, im, keys, impl=cfg.restart_impl
+                )
             else:
                 res = attack(params, im)
             res = jax.tree_util.tree_map(np.asarray, res)

@@ -61,8 +61,11 @@ def run(cfg, source2=None, cross_model=False, cross_specs=None) -> np.ndarray:
                 inner = make_attack_fn(
                     module, RDAttackConfig(**att_kwargs, random_restarts=2)
                 )
+                # host-looped: the vmapped 768x512 fic best-of-2 program
+                # reproducibly crashes the TPU worker (attacks/rd.py note)
                 afn = lambda p, x, _f=inner: best_of_restarts(
-                    _f, p, x, jax.random.split(jax.random.PRNGKey(0), 2)
+                    _f, p, x, jax.random.split(jax.random.PRNGKey(0), 2),
+                    impl="host",
                 )
             else:
                 afn = make_attack_fn(module, RDAttackConfig(**att_kwargs))

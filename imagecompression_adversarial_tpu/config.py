@@ -36,6 +36,9 @@ class Config:
     # attack
     steps: int = 1001
     random: int = 1
+    # best-of-restarts execution: 'vmap' (one batched program) or 'host'
+    # (sequential programs; survives libtpu faults on big vmapped attacks)
+    restart_impl: str = "vmap"
     lamb_attack: float = 0.2
     noise: float = 0.0001
     lr_attack: float = 0.01
@@ -112,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-steps", dest="steps", type=int, default=d.steps)
     p.add_argument("-random", dest="random", type=int, default=d.random,
                    help="random restarts (best-of)")
+    p.add_argument("-restart_impl", dest="restart_impl", type=str,
+                   default=d.restart_impl, choices=("vmap", "host"),
+                   help="best-of-restarts execution: vmapped batch or "
+                        "sequential host loop (big-model fallback)")
     p.add_argument("-la", dest="lamb_attack", type=float, default=d.lamb_attack)
     p.add_argument("-noise", dest="noise", type=float, default=d.noise,
                    help="input L2 noise threshold")

@@ -28,7 +28,13 @@ from imagecompression_adversarial_tpu.models import init_model, init_params
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1001)
+    ap.add_argument("--device", type=str, default=None,
+                    help="'cpu' pins the host backend (the sandbox "
+                         "site-hook overrides JAX_PLATFORMS, so the env "
+                         "var alone does NOT work — CLAUDE.md)")
     args = ap.parse_args()
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
 
     jax.config.update("jax_default_matmul_precision", "default")
     _setup_compile_cache(Config().compile_cache)
@@ -37,23 +43,59 @@ def main():
     params = init_params(module, jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 512, 768, 3), jnp.float32)
 
+    def timed(name, fn, *fargs):
+        out = fn(*fargs)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*fargs)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        print(
+            f"{name:28s} {args.steps/best:8.1f} steps/s  best {best:.3f}s "
+            f"runs {['%.3f' % t for t in times]}",
+            flush=True,
+        )
+        return out
+
     base = RDAttackConfig(steps=args.steps)
     for impl in ("cond", "select"):
         cfg = dataclasses.replace(base, two_phase_impl=impl)
         attack = make_attack_fn(module, cfg)
-        res = attack(params, x)
-        jax.block_until_ready(res["vi"])  # compile + warm
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            res = attack(params, x)
-            jax.block_until_ready(res["vi"])
-            best = min(best, time.perf_counter() - t0)
-        print(
-            f"two_phase_impl={impl:6s} {args.steps/best:8.1f} steps/s "
-            f"({best:.2f}s)  vi={float(res['vi']):.4f}",
-            flush=True,
-        )
+        res = timed(f"attack two_phase={impl}", attack, params, x)
+        print(f"   vi={float(res['vi']):.4f}")
+
+    # attack without remat: if XLA CSEs the remat recompute anyway, these
+    # should time the same — the 560-steps/s adjudication datum
+    attack_nr = make_attack_fn(module, dataclasses.replace(base, remat=False))
+    timed("attack remat=False", attack_nr, params, x)
+
+    # full-codec forward scan (what bench.py's sanity floor measures:
+    # g_a + h_a + h_s + g_s + likelihoods)
+    def full_fwd(noise0):
+        def step(n, _):
+            out = module.apply({"params": params}, x + n, quant_mode="none")[
+                "x_hat"
+            ]
+            return n + 1e-6 * jnp.mean(out), None
+
+        return jax.lax.scan(step, noise0, None, length=args.steps)[0]
+
+    # the attack's ACTUAL in-loop forward: g_a + phase-space synthesis only
+    # (no hyper path, no likelihoods) — the honest fwd floor for the attack
+    def phase_fwd(noise0):
+        def step(n, _):
+            y = module.apply({"params": params}, x + n, method=module.g_a)
+            ph = module.apply({"params": params}, y, method=module.g_s_phase)
+            return n + 1e-6 * jnp.mean(ph), None
+
+        return jax.lax.scan(step, noise0, None, length=args.steps)[0]
+
+    z0 = jnp.zeros_like(x)
+    timed("full-codec fwd scan", jax.jit(full_fwd), z0)
+    timed("phase fwd scan (g_a+g_s_ph)", jax.jit(phase_fwd), z0)
 
 
 if __name__ == "__main__":

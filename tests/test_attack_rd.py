@@ -355,3 +355,34 @@ def test_two_phase_select_matches_cond():
     np.testing.assert_allclose(
         float(res_cond["vi"]), float(res_sel["vi"]), rtol=1e-5
     )
+
+
+def test_best_of_restarts_host_impl_matches_vmap():
+    """impl='host' (sequential big-model fallback; the vmapped fic 768x512
+    best-of-2 reproducibly crashes the TPU worker) must pick the same
+    winner as the vmapped path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecompression_adversarial_tpu.attacks import (
+        RDAttackConfig,
+        best_of_restarts,
+        make_attack_fn,
+    )
+    from imagecompression_adversarial_tpu.models import init_model, init_params
+
+    module = init_model("debug", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+    cfg = RDAttackConfig(steps=5, random_restarts=2, debug_model=True)
+    attack = make_attack_fn(module, cfg)
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    r_vmap = best_of_restarts(attack, params, x, keys)
+    r_host = best_of_restarts(attack, params, x, keys, impl="host")
+    np.testing.assert_allclose(
+        float(r_vmap["vi"]), float(r_host["vi"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_vmap["im_"]), np.asarray(r_host["im_"]), atol=1e-6
+    )
