@@ -146,3 +146,27 @@ def init_noise(
         assert key is not None
         return jax.random.uniform(key, shape, jnp.float32, -1e-2, 1e-2)
     return jnp.zeros(shape, jnp.float32)
+
+
+def make_phase_fwd_scan(module, steps: int):
+    """Forward-only scan of the RD attack's ACTUAL in-loop computation —
+    g_a + the phase-space synthesis, no hyper path, no likelihoods — the
+    honest throughput floor for the attack (a full fwd+bwd step can never
+    beat it).  Shared by bench.py's sanity cross-check and
+    scripts/perf_two_phase.py so the two cannot drift.  The scan is
+    sequentialized through the image-shaped noise carry (updated from the
+    output mean) so XLA cannot hoist the loop-invariant forward (the
+    round-2 DCE trap, CLAUDE.md)."""
+    import jax
+
+    def scan(params, x):
+        def step(n, _):
+            y = module.apply({"params": params}, x + n, method=module.g_a)
+            out = module.apply({"params": params}, y, method=module.g_s_phase)
+            return n + 1e-6 * jnp.mean(out), None
+
+        return jax.lax.scan(
+            step, jnp.zeros_like(x), None, length=steps
+        )[0]
+
+    return scan

@@ -121,7 +121,16 @@ def _attack_loss(
             loss_o = 1.0 - jnp.mean((output_s - output_) ** 2)
         return loss_o, loss_o
 
-    if cfg.two_phase_impl == "select" and cfg.att_metric != "ms-ssim":
+    if cfg.two_phase_impl not in ("cond", "select"):
+        raise ValueError(
+            f"two_phase_impl={cfg.two_phase_impl!r} not in ('cond', 'select')"
+        )
+    if cfg.two_phase_impl == "select" and cfg.att_metric == "ms-ssim":
+        raise ValueError(
+            "two_phase_impl='select' supports the L2 att_metric only (the "
+            "ms-ssim input phase has its own compute; use 'cond')"
+        )
+    if cfg.two_phase_impl == "select":
         # L2 input phase is just loss_i (already computed): always run the
         # output phase and blend the SCALARS.  jnp.where's vjp masks the
         # unselected branch, so gradients match lax.cond exactly; what

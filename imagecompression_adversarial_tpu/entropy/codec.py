@@ -165,7 +165,11 @@ class RealCodec:
         CDF row, like the GMM path).  Scales are clamped into the same
         [SCALE_BOUND, SCALES_MAX] grid the differentiable estimate uses
         (`entropy/gaussian.py::gaussian_likelihood`), so est-vs-ideal
-        deviations are pure calibration, never clamp asymmetry."""
+        deviations are pure calibration, never clamp asymmetry.  NOTE:
+        the clamp is wire-format-affecting — context4 bitstreams written
+        before round 5 whose scale head left [0.11, 256] do not decode
+        under this version (encode/decode are version-paired; no persisted
+        bitstream compatibility is promised)."""
         from .gaussian import SCALE_BOUND, SCALES_MAX
         from .tables import build_gmm_cdf_rows
 

@@ -48,20 +48,36 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, np.float32)
 
 
-def lpips_params_from_torch(state: Dict) -> Dict:
+def lpips_params_from_torch(state: Dict, base_params: Dict = None) -> Dict:
     """lpips-package state_dict -> params pytree for `metrics.lpips.LPIPS`
-    (use with `lpips_fn_from_params`)."""
-    features: Dict = {}
-    for tk, fk in _CONV_KEYS:
-        w = _np(state[f"{tk}.weight"])  # (O, I, kh, kw)
-        b = _np(state[f"{tk}.bias"])
-        features[fk] = {"kernel": w.transpose(2, 3, 1, 0), "bias": b}
-    if "scaling_layer.shift" in state:
-        features["in_shift"] = _np(state["scaling_layer.shift"]).reshape(-1)
-        features["in_scale"] = _np(state["scaling_layer.scale"]).reshape(-1)
-    else:  # lin-only checkpoints (lpips/weights/v0.1/alex.pth) lack the net
-        features.setdefault("in_shift", np.zeros(3, np.float32))
-        features.setdefault("in_scale", np.ones(3, np.float32))
+    (use with `lpips_fn_from_params`).
+
+    The distributed weight files (lpips/weights/v0.1/alex.pth) contain ONLY
+    the lin heads — no trunk.  For those, pass ``base_params`` (an existing
+    LPIPS pytree whose 'features' trunk supplies the convs, e.g. from
+    converted torchvision AlexNet weights); without it, a lin-only state
+    dict raises a descriptive error instead of a bare KeyError."""
+    has_net = f"{_CONV_KEYS[0][0]}.weight" in state
+    if not has_net and base_params is None:
+        raise ValueError(
+            "state_dict has no net.slice* conv weights (a lin-only "
+            "checkpoint like lpips/weights/v0.1/alex.pth); pass "
+            "base_params with a converted trunk to merge the heads into"
+        )
+    if has_net:
+        features: Dict = {}
+        for tk, fk in _CONV_KEYS:
+            w = _np(state[f"{tk}.weight"])  # (O, I, kh, kw)
+            b = _np(state[f"{tk}.bias"])
+            features[fk] = {"kernel": w.transpose(2, 3, 1, 0), "bias": b}
+        if "scaling_layer.shift" in state:
+            features["in_shift"] = _np(state["scaling_layer.shift"]).reshape(-1)
+            features["in_scale"] = _np(state["scaling_layer.scale"]).reshape(-1)
+        else:
+            features["in_shift"] = np.zeros(3, np.float32)
+            features["in_scale"] = np.ones(3, np.float32)
+    else:
+        features = dict(base_params["features"])
     params: Dict = {"features": features}
     for i in range(5):
         params[f"lin{i}"] = _np(state[f"lin{i}.model.1.weight"]).reshape(-1)

@@ -84,18 +84,16 @@ def main():
         return jax.lax.scan(step, noise0, None, length=args.steps)[0]
 
     # the attack's ACTUAL in-loop forward: g_a + phase-space synthesis only
-    # (no hyper path, no likelihoods) — the honest fwd floor for the attack
-    def phase_fwd(noise0):
-        def step(n, _):
-            y = module.apply({"params": params}, x + n, method=module.g_a)
-            ph = module.apply({"params": params}, y, method=module.g_s_phase)
-            return n + 1e-6 * jnp.mean(ph), None
-
-        return jax.lax.scan(step, noise0, None, length=args.steps)[0]
+    # (no hyper path, no likelihoods) — the honest fwd floor for the attack,
+    # shared with bench.py's sanity cross-check
+    from imagecompression_adversarial_tpu.attacks.common import (
+        make_phase_fwd_scan,
+    )
 
     z0 = jnp.zeros_like(x)
     timed("full-codec fwd scan", jax.jit(full_fwd), z0)
-    timed("phase fwd scan (g_a+g_s_ph)", jax.jit(phase_fwd), z0)
+    phase_jit = jax.jit(make_phase_fwd_scan(module, args.steps))
+    timed("phase fwd scan (g_a+g_s_ph)", phase_jit, params, x)
 
 
 if __name__ == "__main__":

@@ -386,3 +386,29 @@ def test_best_of_restarts_host_impl_matches_vmap():
     np.testing.assert_allclose(
         np.asarray(r_vmap["im_"]), np.asarray(r_host["im_"]), atol=1e-6
     )
+
+
+def test_two_phase_impl_validated():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from imagecompression_adversarial_tpu.attacks import (
+        RDAttackConfig,
+        make_attack_fn,
+    )
+    from imagecompression_adversarial_tpu.models import init_model, init_params
+
+    module = init_model("debug", 1)
+    params = init_params(module, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    for bad in (
+        RDAttackConfig(steps=2, two_phase_impl="Select"),
+        RDAttackConfig(steps=2, two_phase_impl="select", att_metric="ms-ssim"),
+    ):
+        with pytest.raises(ValueError):
+            make_attack_fn(module, dataclasses.replace(bad, debug_model=True))(
+                params, x, jax.random.PRNGKey(1)
+            )

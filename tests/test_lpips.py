@@ -164,3 +164,33 @@ def test_alex_feature_fn_serves_fid():
     # FID(a, a) == 0 through the same extractor
     fid_same = frechet_distance(feats, feats)
     assert abs(fid_same) < 1e-4
+
+
+def test_lin_only_checkpoint_requires_base_params():
+    """The distributed lin-only weight files need a trunk to merge into;
+    without one the converter raises a descriptive error, with one it
+    produces a loadable pytree."""
+    import numpy as np
+    import pytest
+    import jax
+    import jax.numpy as jnp
+
+    from imagecompression_adversarial_tpu.io.convert_lpips import (
+        lpips_params_from_torch,
+    )
+    from imagecompression_adversarial_tpu.metrics.lpips import LPIPS
+
+    widths = [64, 192, 384, 256, 256]
+    lin_only = {
+        f"lin{i}.model.1.weight": np.random.RandomState(i).rand(1, w, 1, 1)
+        for i, w in enumerate(widths)
+    }
+    with pytest.raises(ValueError, match="lin-only"):
+        lpips_params_from_torch(lin_only)
+
+    module = LPIPS()
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    base = module.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    params = lpips_params_from_torch(lin_only, base_params=base)
+    d = module.apply({"params": params}, x0, x0)
+    assert float(d) == 0.0
