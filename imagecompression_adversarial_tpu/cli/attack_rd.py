@@ -44,6 +44,7 @@ def run(cfg) -> dict:
             cfg.phase_space
         ],
         split_eval=cfg.split_eval,
+        two_phase_impl=cfg.two_phase_impl,
     )
     attack = make_attack_fn(module, att_cfg)
 

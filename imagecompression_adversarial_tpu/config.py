@@ -39,6 +39,8 @@ class Config:
     # best-of-restarts execution: 'vmap' (one batched program) or 'host'
     # (sequential programs; survives libtpu faults on big vmapped attacks)
     restart_impl: str = "vmap"
+    # two-phase loss lowering (attacks/common.py RDAttackConfig)
+    two_phase_impl: str = "cond"
     lamb_attack: float = 0.2
     noise: float = 0.0001
     lr_attack: float = 0.01
@@ -163,6 +165,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-phase_space", dest="phase_space", type=str,
                    default=d.phase_space, choices=("auto", "on", "off"),
                    help="phase-space attack loss (auto: on when equivalent)")
+    p.add_argument("-two_phase", dest="two_phase_impl", type=str,
+                   default=d.two_phase_impl, choices=("cond", "select"),
+                   help="two-phase loss lowering: lax.cond (skips the "
+                        "forward over budget) or scalar select (always "
+                        "computes the output phase; no cond copies)")
     p.add_argument("--split_eval", dest="split_eval", action="store_true",
                    help="attack scan and eval as separate XLA programs "
                         "(megapixel single-chip attacks)")
