@@ -21,12 +21,21 @@ from scipy import linalg
 def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     """FID between two feature sets: ||mu_a - mu_b||^2 +
     Tr(Ca + Cb - 2 sqrt(Ca Cb))."""
+    if feats_a.shape[0] < 2 or feats_b.shape[0] < 2:
+        # np.cov silently squeezes an (1, D) input into a one-variable
+        # series, producing a wrong (not just degenerate) covariance
+        raise ValueError("FID needs >= 2 samples in each set")
     mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
     cov_a = np.cov(feats_a, rowvar=False)
     cov_b = np.cov(feats_b, rowvar=False)
     covmean = linalg.sqrtm(cov_a @ cov_b)
     if isinstance(covmean, tuple):  # older scipy returned (sqrtm, errest)
         covmean = covmean[0]
+    if not np.all(np.isfinite(covmean)):
+        # rank-deficient covariances (N-1 < D): the standard eps*I jitter
+        # used by the original FID implementation
+        eps = 1e-6 * np.eye(cov_a.shape[0])
+        covmean = linalg.sqrtm((cov_a + eps) @ (cov_b + eps))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     diff = mu_a - mu_b
@@ -45,18 +54,23 @@ def kid(
     n_subsets: int = 10,
     subset_size: int = 100,
     seed: int = 0,
+    degree: int = 3,
+    gamma: float | None = None,
+    coef0: float = 1.0,
 ) -> Tuple[float, float]:
     """Kernel Inception Distance: unbiased polynomial-kernel MMD^2, averaged
-    over random subsets (mean, std)."""
+    over random subsets (mean, std).  Kernel knobs mirror the reference CLI
+    (`/root/reference/utils/metrics_compare/mmd.py:406-408`
+    --mmd-degree/--mmd-gamma/--mmd-coef0)."""
     rng = np.random.RandomState(seed)
     m = min(subset_size, feats_a.shape[0], feats_b.shape[0])
     vals = []
     for _ in range(n_subsets):
         xa = feats_a[rng.choice(feats_a.shape[0], m, replace=False)]
         xb = feats_b[rng.choice(feats_b.shape[0], m, replace=False)]
-        k_aa = _poly_kernel(xa, xa)
-        k_bb = _poly_kernel(xb, xb)
-        k_ab = _poly_kernel(xa, xb)
+        k_aa = _poly_kernel(xa, xa, degree, gamma, coef0)
+        k_bb = _poly_kernel(xb, xb, degree, gamma, coef0)
+        k_ab = _poly_kernel(xa, xb, degree, gamma, coef0)
         np.fill_diagonal(k_aa, 0)
         np.fill_diagonal(k_bb, 0)
         mmd2 = (

@@ -23,6 +23,7 @@ CLI_MODULES = [
     "compare",
     "feature_range",
     "jpeg_baseline",
+    "mmd",
     "random_noise",
     "recompression",
     "search",
