@@ -7,10 +7,21 @@ reference only exercises in its TIC adapter, `attack_TIC.py:86-136`):
     python -m ...cli.codec -m hyper -q 1 -s in.png -t out.png
 
 prints the REAL bpp (bytes on the wire) next to the entropy estimate.
+
+Batch bitstream drivers (the reference's NIC encode/decode scripts,
+`/root/reference/utils/metrics_compare/encode.py:10-15` and
+`decode.py:24-31`, which pack H/W into the container trailer):
+
+    python -m ...cli.codec -m hyper -q 1 --encode -s 'kodak/*.png' -t out/
+    python -m ...cli.codec -m hyper -q 1 --decode -s 'out/*.bin'   -t rec/
+
+``.bin`` is self-contained up to the model: latent shape + image H,W +
+length-prefixed rANS strings.
 """
 
 from __future__ import annotations
 
+import os
 import struct
 
 import jax.numpy as jnp
@@ -18,9 +29,55 @@ import numpy as np
 
 from ..config import apply_precision, parse_config
 from ..entropy.codec import RealCodec
-from ..io.image import read_image, write_image
+from ..io.image import list_images, read_image, write_image
 from ..metrics import bpp_from_likelihoods, psnr
 from ..runtime import load_model
+
+
+def write_container(path: str, out: dict, h: int, w: int) -> None:
+    """shape + original H,W + len-prefixed strings (self-contained decode)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<HHHH", *out["shape"], h, w))
+        for s in out["strings"]:
+            f.write(struct.pack("<I", len(s)))
+            f.write(s)
+
+
+def read_container(path: str):
+    with open(path, "rb") as f:
+        raw = f.read()
+    sh, sw, h, w = struct.unpack("<HHHH", raw[:8])
+    strings, off = [], 8
+    while off < len(raw):
+        (n,) = struct.unpack("<I", raw[off : off + 4])
+        strings.append(raw[off + 4 : off + 4 + n])
+        off += 4 + n
+    return strings, (sh, sw), h, w
+
+
+def encode_glob(cfg, codec: RealCodec) -> None:
+    os.makedirs(cfg.target or ".", exist_ok=True)
+    for path in list_images(cfg.source):
+        im, h, w = read_image(path)
+        out = codec.compress(im)
+        name = os.path.splitext(os.path.basename(path))[0] + ".bin"
+        dst = os.path.join(cfg.target or ".", name)
+        write_container(dst, out, h, w)
+        bpp = codec.real_bpp(out, h * w)
+        print(f"{path} -> {dst}: real_bpp {bpp:.4f}")
+
+
+def decode_glob(cfg, codec: RealCodec) -> None:
+    import glob as _glob
+
+    os.makedirs(cfg.target or ".", exist_ok=True)
+    for path in sorted(_glob.glob(cfg.source)):
+        strings, shape, h, w = read_container(path)
+        x_hat = codec.decompress(strings, shape)
+        name = os.path.splitext(os.path.basename(path))[0] + "_rec.png"
+        dst = os.path.join(cfg.target or ".", name)
+        write_image(x_hat, dst, h, w)
+        print(f"{path} -> {dst}: {h}x{w}")
 
 
 def run(cfg) -> dict:
@@ -45,12 +102,7 @@ def run(cfg) -> dict:
 
     if cfg.target:
         write_image(x_hat, cfg.target, h, w)
-        # container: shapes + strings
-        with open(cfg.target + ".bin", "wb") as f:
-            f.write(struct.pack("<HH", *out["shape"]))
-            for s in out["strings"]:
-                f.write(struct.pack("<I", len(s)))
-                f.write(s)
+        write_container(cfg.target + ".bin", out, h, w)
 
     # three-way split: real - ideal = rANS coder overhead;
     # est - ideal = estimator/table calibration error
@@ -68,6 +120,15 @@ def run(cfg) -> dict:
 
 def main(argv=None):
     cfg = parse_config(argv)
+    if cfg.encode or cfg.decode:
+        apply_precision(cfg)
+        module, params = load_model(cfg)
+        codec = RealCodec(module, params)
+        if cfg.encode:
+            encode_glob(cfg, codec)
+        if cfg.decode:
+            decode_glob(cfg, codec)
+        return
     run(cfg)
 
 

@@ -78,6 +78,8 @@ class Config:
     # compile the attack scan and the evaluation as separate XLA programs
     # (megapixel single-chip attacks; RESULTS.md round 3)
     split_eval: bool = False
+    encode: bool = False  # cli.codec: batch-encode a glob to .bin files
+    decode: bool = False  # cli.codec: decode a glob of .bin files
     # persistent XLA compilation cache directory ('none' disables); makes a
     # re-run of any CLI skip its multi-minute first compile entirely
     compile_cache: str = dataclasses.field(
@@ -173,6 +175,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split_eval", dest="split_eval", action="store_true",
                    help="attack scan and eval as separate XLA programs "
                         "(megapixel single-chip attacks)")
+    p.add_argument("--encode", action="store_true",
+                   help="cli.codec: batch-encode the -s glob to .bin "
+                        "bitstreams under -t (ref metrics_compare/encode.py)")
+    p.add_argument("--decode", action="store_true",
+                   help="cli.codec: decode a -s glob of .bin bitstreams to "
+                        "PNGs under -t (ref metrics_compare/decode.py)")
     p.add_argument("-compile_cache", dest="compile_cache", type=str,
                    default=d.compile_cache,
                    help="persistent XLA compilation cache dir ('none' "
