@@ -63,6 +63,8 @@ def _load_stack(spec: str):
         if arr.ndim == 3:
             arr = arr[None] if arr.shape[-1] == 3 else arr[..., None]
         x = np.asarray(arr, np.float32)
+        if x.shape[-1] == 1:  # grayscale: tile like io.image.read_image
+            x = np.tile(x, (1, 1, 1, 3))
         if x.max() > 1.5:  # uint8-range images
             x = x / 255.0
         return "images", [x[i : i + 1] for i in range(x.shape[0])]
