@@ -38,7 +38,10 @@ class Config:
     random: int = 1
     # best-of-restarts execution: 'vmap' (one batched program) or 'host'
     # (sequential programs; survives libtpu faults on big vmapped attacks)
-    restart_impl: str = "vmap"
+    # host-looped restarts measured faster than the vmapped batch on a
+    # saturated chip in rounds 1-2 (vmap-of-attack ~3x slower) and the
+    # vmapped fic 768x512 best-of-2 program faults the TPU worker
+    restart_impl: str = "host"
     # two-phase loss lowering (attacks/common.py RDAttackConfig)
     two_phase_impl: str = "cond"
     lamb_attack: float = 0.2
@@ -121,8 +124,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random restarts (best-of)")
     p.add_argument("-restart_impl", dest="restart_impl", type=str,
                    default=d.restart_impl, choices=("vmap", "host"),
-                   help="best-of-restarts execution: vmapped batch or "
-                        "sequential host loop (big-model fallback)")
+                   help="best-of-restarts execution: sequential host loop "
+                        "(default: faster on a saturated chip, immune to "
+                        "the vmapped-fic worker fault) or vmapped batch")
     p.add_argument("-la", dest="lamb_attack", type=float, default=d.lamb_attack)
     p.add_argument("-noise", dest="noise", type=float, default=d.noise,
                    help="input L2 noise threshold")
