@@ -55,23 +55,76 @@ def cross_image_matrix(
     return vis
 
 
+def _materialize(entry):
+    """A matrix leg is either a ready (fn, params) pair or a zero-arg thunk
+    returning one (lazy: the model only lives for its own leg)."""
+    if callable(entry) and not isinstance(entry, tuple):
+        return entry()
+    return entry
+
+
+def _free_leg(lazy: bool) -> None:
+    """Drop compiled executables + device buffers between lazy legs.
+
+    Six-seven trained families' attack scans do not coexist in one chip's
+    HBM (the round-5 full-matrix run died RESOURCE_EXHAUSTED holding every
+    family's params + jitted 301-step scan at once); in lazy mode each leg
+    re-materializes its model, so the jit caches are safe to clear.
+    """
+    if lazy:
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+
+
 def cross_model_matrix(
-    attacks: List[Tuple[Callable, dict]],
-    evals: List[Tuple[Callable, dict]],
+    attacks: List,
+    evals: List,
     images: Sequence[np.ndarray],
+    log: Callable[[str], None] = None,
 ) -> np.ndarray:
     """transfer_matrix[i, j]: mean VI of examples attacked under model i,
-    evaluated under model j.  ``attacks``/``evals`` are (fn, params) pairs."""
+    evaluated under model j (ref `transfer_noise.py:44-79`).
+
+    ``attacks``/``evals`` entries are (fn, params) pairs, or zero-arg thunks
+    returning one.  Thunk (lazy) mode is the memory-light path: the matrix is
+    computed in two host-staged phases — (1) per source model, attack every
+    image and pull the noises to host numpy, then free the model; (2) per
+    target model, evaluate every stored (image, noise) example — so at most
+    ONE model's params + compiled programs are resident at a time.
+    """
     n = len(attacks)
+    lazy = any(callable(a) and not isinstance(a, tuple) for a in attacks + evals)
+    say = log if log is not None else (lambda s: print(s, flush=True))
     matrix = np.zeros((n, n), np.float32)
-    for i, (attack_fn, p_i) in enumerate(attacks):
-        examples = []
-        for im in images:
+
+    # Phase 1: attack under each source model; stage (image, noise) on host.
+    staged = []  # [i] -> list of (np image, np noise)
+    for i, entry in enumerate(attacks):
+        attack_fn, p_i = _materialize(entry)
+        exs = []
+        for k, im in enumerate(images):
             res = attack_fn(p_i, jnp.asarray(im))
-            examples.append((jnp.asarray(im), res["im_"] - jnp.asarray(im)))
-        for j, (eval_fn, p_j) in enumerate(evals):
-            vals = [float(eval_fn(p_j, x, nz)) for x, nz in examples]
+            noise = np.asarray(res["im_"]) - np.asarray(im, np.float32)
+            exs.append((np.asarray(im, np.float32), noise))
+            say(f"[attack {i + 1}/{n}] image {k + 1}/{len(images)} done")
+        staged.append(exs)
+        del attack_fn, p_i, res
+        _free_leg(lazy)
+
+    # Phase 2: evaluate every staged example under each target model.
+    for j, entry in enumerate(evals):
+        eval_fn, p_j = _materialize(entry)
+        for i in range(n):
+            vals = [
+                float(eval_fn(p_j, jnp.asarray(x), jnp.asarray(nz)))
+                for x, nz in staged[i]
+            ]
             matrix[i, j] = float(np.mean(vals))
+            say(f"[eval col {j + 1}/{n}] row {i + 1}/{n}: {matrix[i, j]:.2f}")
+        del eval_fn, p_j
+        _free_leg(lazy)
     return matrix
 
 

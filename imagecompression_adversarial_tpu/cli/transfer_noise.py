@@ -42,36 +42,53 @@ def run(cfg, source2=None, cross_model=False, cross_specs=None) -> np.ndarray:
         else:
             specs = [(a, min(cfg.quality, 6), cfg.checkpoint)
                      for a in ("factorized", "hyper", "context", "cheng2020")]
-        attacks, evals, labels = [], [], []
-        for arch, q, ck in specs:
-            c = dataclasses.replace(cfg, model=arch, quality=q, checkpoint=ck)
-            module, params = load_model(c)
-            if arch == "fic":
-                # fic's zero-init noise sits at an exact critical point
-                # (models/fic.py attack note): as a transfer SOURCE it would
-                # contribute all-zero noise rows.  Run a genuine best-of-2
-                # restart (uniform(±1e-2) init per key, highest VI kept) so
-                # the row is comparable to `-random 2` attack_rd runs; the
-                # reference's own random init exists only as a commented-out
-                # line (attack_fic.py:58-59) and its live init is zeros.
-                import jax
+        # Lazy legs: each thunk loads its model when the matrix needs it and
+        # analysis.cross_model_matrix frees it afterwards — 6-7 trained
+        # families' params + jitted attack scans do NOT fit in one chip's
+        # HBM simultaneously (the eager round-5 run died ResourceExhausted).
+        def make_attack_thunk(arch, q, ck):
+            def thunk():
+                c = dataclasses.replace(cfg, model=arch, quality=q, checkpoint=ck)
+                module, params = load_model(c)
+                if arch == "fic":
+                    # fic's zero-init noise sits at an exact critical point
+                    # (models/fic.py attack note): as a transfer SOURCE it
+                    # would contribute all-zero noise rows.  Run a genuine
+                    # best-of-2 restart (uniform(±1e-2) init per key, highest
+                    # VI kept) so the row is comparable to `-random 2`
+                    # attack_rd runs; the reference's own random init exists
+                    # only as a commented-out line (attack_fic.py:58-59) and
+                    # its live init is zeros.
+                    import jax
 
-                from ..attacks import best_of_restarts
+                    from ..attacks import best_of_restarts
 
-                inner = make_attack_fn(
-                    module, RDAttackConfig(**att_kwargs, random_restarts=2)
-                )
-                # host-looped: the vmapped 768x512 fic best-of-2 program
-                # reproducibly crashes the TPU worker (attacks/rd.py note)
-                afn = lambda p, x, _f=inner: best_of_restarts(
-                    _f, p, x, jax.random.split(jax.random.PRNGKey(0), 2),
-                    impl="host",
-                )
-            else:
-                afn = make_attack_fn(module, RDAttackConfig(**att_kwargs))
-            attacks.append((afn, params))
-            evals.append((make_transfer_eval_fn(module), params))
-            labels.append(f"{arch}-q{q}")
+                    inner = make_attack_fn(
+                        module, RDAttackConfig(**att_kwargs, random_restarts=2)
+                    )
+                    # host-looped: the vmapped 768x512 fic best-of-2 program
+                    # reproducibly crashes the TPU worker (attacks/rd.py note)
+                    afn = lambda p, x, _f=inner: best_of_restarts(
+                        _f, p, x, jax.random.split(jax.random.PRNGKey(0), 2),
+                        impl="host",
+                    )
+                else:
+                    afn = make_attack_fn(module, RDAttackConfig(**att_kwargs))
+                return afn, params
+
+            return thunk
+
+        def make_eval_thunk(arch, q, ck):
+            def thunk():
+                c = dataclasses.replace(cfg, model=arch, quality=q, checkpoint=ck)
+                module, params = load_model(c)
+                return make_transfer_eval_fn(module), params
+
+            return thunk
+
+        attacks = [make_attack_thunk(*s) for s in specs]
+        evals = [make_eval_thunk(*s) for s in specs]
+        labels = [f"{arch}-q{q}" for arch, q, _ in specs]
         images = [read_image(f)[0] for f in list_images(cfg.source)]
         matrix = cross_model_matrix(attacks, evals, images)
         print("cross-model transfer matrix (rows: attacked, cols: evaluated):")

@@ -80,6 +80,45 @@ def test_transfer_eval_identity_noise():
     assert np.isfinite(float(vi))
 
 
+def test_cross_model_matrix_lazy_thunks():
+    """Lazy (thunk) legs produce the same matrix as eager (fn, params) pairs
+    and each model only lives for its own leg (the full trained matrix does
+    not fit every family in HBM at once)."""
+    from imagecompression_adversarial_tpu.analysis import cross_model_matrix
+
+    module, params = _setup()
+    fn = make_transfer_eval_fn(module)
+    # a do-nothing "attack": noise is a constant offset
+    attack = lambda p, x: {"im_": jnp.clip(x + 5e-3, 0.0, 1.0)}
+    images = [
+        np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(7 + i), (1, 64, 64, 3)) * 0.8
+            + 0.1,
+            np.float32,
+        )
+        for i in range(2)
+    ]
+
+    quiet = lambda s: None
+    eager = cross_model_matrix(
+        [(attack, params)], [(fn, params)], images, log=quiet
+    )
+
+    made = []
+
+    def attack_thunk():
+        made.append("attack")
+        return attack, params
+
+    def eval_thunk():
+        made.append("eval")
+        return make_transfer_eval_fn(_setup()[0]), params
+
+    lazy = cross_model_matrix([attack_thunk], [eval_thunk], images, log=quiet)
+    assert made == ["attack", "eval"]
+    np.testing.assert_allclose(lazy, eager, atol=1e-4)
+
+
 def test_detect_fn_flags_out_of_range():
     g_a = lambda x: x * 10.0
     detect = make_detect_fn(g_a, channel_max=[1.0, 1.0, 1.0], channel_min=[-2.0, -2.0, -2.0])
