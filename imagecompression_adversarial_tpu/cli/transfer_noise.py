@@ -94,6 +94,7 @@ def run(cfg, source2=None, cross_model=False, cross_specs=None) -> np.ndarray:
         print("cross-model transfer matrix (rows: attacked, cols: evaluated):")
         print("models:", " ".join(labels))
         print(np.round(matrix, 2))
+        np.save("transfer_cross_model.npy", matrix)
         plot_matrix(matrix, "transfer_cross_model.pdf")
         return matrix
 
