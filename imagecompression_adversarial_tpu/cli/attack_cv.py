@@ -2,23 +2,41 @@
 
 Mirrors ``python attack_cv.py -s src.png -t target.png [--mask_loc x0 x1 y0
 y1 -la_tar ... -la_bkg_in ... -la_bkg_out ...]``
-(`/root/reference/attack_cv.py:346+`, README.md targeted examples).
+(`/root/reference/attack_cv.py:346+`, README.md targeted examples), plus the
+classifier-CE variant the reference scaffolds at `attack_cv.py:89-91,232-234`
+(its checkpoint path is the literal ``"xxx"``): ``--cls_ckpt c.msgpack
+--cls_label 3`` steers the reconstruction toward classifier label 3.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import jax
 import numpy as np
 
 from ..attacks.targeted import TargetedAttackConfig, make_targeted_attack_fn
-from ..config import apply_precision, parse_config
+from ..config import Config, apply_precision, build_parser
 from ..io.image import read_image, write_image
 from ..runtime import load_model
 
 
-def run(cfg) -> dict:
+def _load_classifier_logits_fn(ckpt: str):
+    import flax.serialization
+
+    from ..models.classifier import MLPClassifier, make_logits_fn
+
+    module = MLPClassifier()
+    template = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 28, 28, 3), np.float32)
+    )["params"]
+    with open(ckpt, "rb") as f:
+        params = flax.serialization.from_bytes(template, f.read())
+    return make_logits_fn(module, params)
+
+
+def run(cfg, cls_ckpt: str | None = None, cls_label: int | None = None) -> dict:
     apply_precision(cfg)
     module, params = load_model(cfg)
 
@@ -33,7 +51,10 @@ def run(cfg) -> dict:
         lamb_bkg_out=cfg.lamb_bkg_out,
         mask_loc=tuple(cfg.mask_loc) if cfg.mask_loc else None,
     )
-    attack = make_targeted_attack_fn(module, att_cfg)
+    logits_fn = _load_classifier_logits_fn(cls_ckpt) if cls_ckpt else None
+    attack = make_targeted_attack_fn(
+        module, att_cfg, classifier_logits_fn=logits_fn, target_label=cls_label
+    )
 
     im_s, h, w = read_image(cfg.source)
     target = None
@@ -52,6 +73,11 @@ def run(cfg) -> dict:
         f"vi {float(res['vi']):.4f} loss_i {float(res['loss_i_final']):.6f} "
         f"loss_o {float(res['loss_o_final']):.6f}"
     )
+    if logits_fn is not None:
+        pred_s = int(np.argmax(np.asarray(logits_fn(res["output_s"]))))
+        pred_a = int(np.argmax(np.asarray(logits_fn(res["output_"]))))
+        print(f"classifier: clean-recon label {pred_s} -> adv-recon label "
+              f"{pred_a} (target {cls_label})")
     out_dir = "./attack/targeted/"
     os.makedirs(out_dir, exist_ok=True)
     stem = out_dir + os.path.splitext(os.path.basename(cfg.source))[0]
@@ -62,8 +88,14 @@ def run(cfg) -> dict:
 
 
 def main(argv=None):
-    cfg = parse_config(argv)
-    run(cfg)
+    parser = build_parser()
+    parser.add_argument("--cls_ckpt", type=str, default=None,
+                        help="classifier msgpack: CE-targeted attack")
+    parser.add_argument("--cls_label", type=int, default=0,
+                        help="target label for --cls_ckpt")
+    ns = parser.parse_args(argv)
+    cfg = Config(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)})
+    run(cfg, cls_ckpt=ns.cls_ckpt, cls_label=ns.cls_label)
 
 
 if __name__ == "__main__":

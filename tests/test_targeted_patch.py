@@ -88,6 +88,32 @@ def test_classifier_and_logits_fn():
     assert fn(big).shape == (2, 10)
 
 
+def test_attack_cv_cls_ckpt_roundtrip(tmp_path):
+    """--cls_ckpt loads a serialized classifier via the template-init path
+    and yields a logits fn usable at codec resolution."""
+    import flax.serialization
+
+    from imagecompression_adversarial_tpu.cli.attack_cv import (
+        _load_classifier_logits_fn,
+    )
+
+    module = MLPClassifier()
+    params = module.init(
+        jax.random.PRNGKey(1), np.zeros((1, 28, 28, 3), np.float32)
+    )["params"]
+    path = tmp_path / "cls.msgpack"
+    path.write_bytes(flax.serialization.to_bytes(params))
+
+    fn = _load_classifier_logits_fn(str(path))
+    logits = fn(jnp.zeros((1, 64, 64, 3)))
+    assert logits.shape == (1, 10)
+    np.testing.assert_allclose(
+        np.asarray(logits),
+        np.asarray(make_logits_fn(module, params)(jnp.zeros((1, 64, 64, 3)))),
+        atol=1e-6,
+    )
+
+
 def test_classifier_targeted_attack():
     codec = init_model("debug", 1)
     params = init_params(codec, jax.random.PRNGKey(0))
