@@ -35,6 +35,7 @@ import pytest  # noqa: E402
 # Kept in one place so `pytest -m "not slow"` stays an actionable fast path;
 # re-profile and update when adding heavyweight tests.
 _SLOW_TESTS = {
+    "test_make_kodak24_corpus",
     "test_tic_forward_and_attack",
     "test_fic_forward_and_attack",
     "test_cheng_attn_forward_and_attack",

@@ -116,3 +116,42 @@ def test_prefetch_preserves_order_and_exhausts(png_dir):
 def test_prefetch_propagates_nothing_after_sentinel():
     out = list(prefetch(iter([]), depth=1))
     assert out == []
+
+
+def test_make_kodak24_corpus(tmp_path):
+    """scripts/make_kodak24.py: 24 Kodak-geometry images, legacy 01/02 bytes."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "make_kodak24", "scripts/make_kodak24.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "kodak24"
+    mod.main(str(out))
+
+    from PIL import Image
+
+    files = sorted(out.glob("kodim*.png"))
+    assert len(files) == 24
+    portrait = {4, 9, 10, 17, 18, 19}
+    for f in files:
+        idx = int(f.stem[5:])
+        h, w = np.asarray(Image.open(f)).shape[:2]
+        assert (h, w) == ((768, 512) if idx in portrait else (512, 768)), f.name
+
+    # kodim01/02 must keep the round-1 verify-skill bytes (all committed
+    # 2-image numbers in RESULTS.md were measured on them).
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        h, w = 512, 768
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(
+            np.stack([0.5 + 0.4 * np.sin(xx / 40.0 + i),
+                      0.5 + 0.4 * np.cos(yy / 60.0),
+                      0.5 + 0.2 * np.sin((xx + yy) / 30.0)], -1)
+            + rng.rand(h, w, 3) * 0.05, 0, 1)
+        ref = (img * 255).astype(np.uint8)
+        got = np.asarray(Image.open(out / f"kodim{i + 1:02d}.png"))
+        np.testing.assert_array_equal(ref, got)
