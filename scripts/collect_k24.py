@@ -59,7 +59,7 @@ table("Kodak-24 per-family trained 1001-step attacks", [
     ("hyper q4", "r5_k24_hyper.log"),
     ("cheng2020-gmm q3", "r5_k24_cheng.log"),
     ("tic q3", "r5_k24_tic.log"),
-    ("nlaic q3", "r5_k24_nlaic.log"),
+    ("nlaic q3", "r5_k24_nlaic_rerun.log"),  # first run: worker crash @kodim03
     ("invcompress q3", "r5_k24_invcompress.log"),
     ("fic q3 (best-of-2)", "r5_k24_fic.log"),
     ("hific q1", "r5_k24_hific.log"),
