@@ -60,7 +60,7 @@ table("Kodak-24 per-family trained 1001-step attacks", [
     ("cheng2020-gmm q3", "r5_k24_cheng.log"),
     ("tic q3", "r5_k24_tic.log"),
     ("nlaic q3", "r5_k24_nlaic_rerun.log"),  # first run: worker crash @kodim03
-    ("invcompress q3", "r5_k24_invcompress.log"),
+    ("invcompress q3", "r5_k24_invcompress_rescue.log"),  # 1st run: crash @kodim04
     ("fic q3 (best-of-2)", "r5_k24_fic.log"),
     ("hific q1", "r5_k24_hific.log"),
 ], ATT)
