@@ -101,3 +101,10 @@ table("Gradient-sign attacks (hyper q4 trained, 2-image, 1001 steps)", [
     ("MI-FGSM", "r5_ifgsm.log"),
     ("PGD best-of-3", "r5_pgd3.log"),
 ], ATT)
+
+table("Kodak-24 defenses (hyper q4 AUGMENTED ckpt, 1001 steps)", [
+    ("plain attack baseline", "r5_k24aug_attack.log"),
+    ("self-ensemble (non-adaptive)", "r5_k24aug_defend.log"),
+    ("self-ensemble (adaptive attack)", "r5_k24aug_defend_adv.log"),
+    ("latent clip (adaptive attack)", "r5_k24aug_clip_adv.log"),
+], ["bpp_ori", "bpp_adv", "bpp", "dbpp", "vi", "vi_msim", "t"])
