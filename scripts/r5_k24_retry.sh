@@ -20,7 +20,7 @@ retry_family() {  # retry_family <model> <q> <ckpt> <logname>
   local fails
   fails=$(grep ': FAILED' "$log" | cut -d: -f1 || true)
   for img in $fails; do
-    for attempt in 1 2; do
+    for attempt in 1 2 3 4; do
       echo "--- retry $m $img (attempt $attempt)  $(date)"
       row=$(timeout 3600 python -m imagecompression_adversarial_tpu.cli.attack_rd \
         -m "$m" -q "$q" -metric mse -ckpt "$ck" -steps 1001 \
