@@ -129,7 +129,17 @@ def make_ifgsm_fn(module, cfg: IFGSMConfig):
 
 
 def best_of_multistart(attack_fn, params, x, keys):
-    """Multi-start best-of-VI (ref `attack_ifgsm.py:432-437`), vmapped."""
-    results = jax.vmap(lambda k: attack_fn(params, x, k))(keys)
-    best = jnp.argmax(results["vi"])
-    return jax.tree_util.tree_map(lambda a: a[best], results)
+    """Multi-start best-of-VI (ref `attack_ifgsm.py:432-437`), sequential.
+
+    Starts run one at a time, reusing a single compiled executable.
+    vmapping the whole 1001-step attack multiplies live HBM by n_starts
+    and crashes the v5e worker at 768x512 (and is slower anyway — the
+    chip is already saturated by one attack).
+    """
+    best_vi, best_res = -float("inf"), None
+    for k in list(keys):
+        res = attack_fn(params, x, k)
+        vi = float(res["vi"])
+        if vi > best_vi:
+            best_vi, best_res = vi, res
+    return best_res
