@@ -76,6 +76,23 @@ def test_multistart_picks_best_vi():
     assert float(best["vi"]) == max(float(s["vi"]) for s in singles)
 
 
+def test_multistart_runs_starts_sequentially():
+    # Regression: vmapping the whole attack over starts multiplies live
+    # HBM by n_starts and crashes the v5e worker at 768x512 — the starts
+    # must be dispatched one at a time (one host-level call per key).
+    module, params, x = _setup()
+    attack = make_ifgsm_fn(module, IFGSMConfig(steps=2, random_start=True))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    calls = []
+
+    def counting_attack(p, im, k):
+        calls.append(np.asarray(k))  # concrete key => not a vmap tracer
+        return attack(p, im, k)
+
+    best_of_multistart(counting_attack, params, x, keys)
+    assert len(calls) == len(keys)
+
+
 def test_cw_attack_converges_toward_budget():
     module, params, x = _setup()
     cfg = CWAttackConfig(steps=5, search_steps=3, noise_threshold=1e-4)
