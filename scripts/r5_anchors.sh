@@ -38,15 +38,16 @@ for m in factorized context cheng2020; do
     | tee logs/r5_attack_${m}_q4.log | tail -3
 done
 
-specs="factorized:4:ckpts/demo/factorized-q4-mse-synthetic.msgpack"
-specs="$specs,hyper:4:ckpts/demo/hyper-q4-mse-synthetic.msgpack"
-specs="$specs,context:4:ckpts/demo/context-q4-mse-synthetic.msgpack"
-specs="$specs,cheng2020:4:ckpts/demo/cheng2020-q4-mse-synthetic.msgpack"
+specs="factorized:4:/root/repo/ckpts/demo/factorized-q4-mse-synthetic.msgpack"
+specs="$specs,hyper:4:/root/repo/ckpts/demo/hyper-q4-mse-synthetic.msgpack"
+specs="$specs,context:4:/root/repo/ckpts/demo/context-q4-mse-synthetic.msgpack"
+specs="$specs,cheng2020:4:/root/repo/ckpts/demo/cheng2020-q4-mse-synthetic.msgpack"
 
 echo "### 4-anchor trained cross-model matrix (301 steps)  $(date)"
 mkdir -p /tmp/anchors_matrix
 ( cd /tmp/anchors_matrix && \
-  timeout 14400 python -m imagecompression_adversarial_tpu.cli.transfer_noise \
+  PYTHONPATH=/root/repo timeout 14400 \
+  python -m imagecompression_adversarial_tpu.cli.transfer_noise \
     --cross-model -steps 301 -s '/tmp/kodak24/kodim0[12].png' \
     -cross "$specs" ) 2>&1 | tee logs/r5_anchors_matrix.log | tail -10
 cp /tmp/anchors_matrix/transfer_cross_model.npy /root/repo/transfer_anchors.npy
