@@ -22,7 +22,7 @@ specs="$specs,cheng2020:4:ckpts/demo/cheng2020-q4-mse-synthetic.msgpack"
 echo "### 4-anchor trained cross-model matrix (301 steps)  $(date)"
 mkdir -p /tmp/anchors_matrix
 ( cd /tmp/anchors_matrix && \
-  PYTHONPATH=/root/repo timeout 14400 \
+  PYTHONPATH=/root/repo:/root/.axon_site:${PYTHONPATH:-} timeout 14400 \
   python -m imagecompression_adversarial_tpu.cli.transfer_noise \
     --cross-model -steps 301 -s '/tmp/kodak24/kodim0[12].png' \
     -cross "factorized:4:/root/repo/ckpts/demo/factorized-q4-mse-synthetic.msgpack,hyper:4:/root/repo/ckpts/demo/hyper-q4-mse-synthetic.msgpack,context:4:/root/repo/ckpts/demo/context-q4-mse-synthetic.msgpack,cheng2020:4:/root/repo/ckpts/demo/cheng2020-q4-mse-synthetic.msgpack" \
